@@ -1,12 +1,15 @@
 """Test configuration: run on CPU with 8 virtual devices, float64 enabled.
 
 Multi-chip sharding tests use the fake 8-device CPU mesh; numeric parity tests
-against the CPU MuJoCo oracle use float64.  Must run before jax is imported.
+against the CPU MuJoCo oracle use float64.
+
+Note: a sitecustomize may pre-import jax with JAX_PLATFORMS pointing at a TPU
+plugin, so env vars alone are too late — use jax.config.update, which wins at
+backend-initialization time as long as no computation has run yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +18,5 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

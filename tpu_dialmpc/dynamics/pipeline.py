@@ -1,0 +1,147 @@
+"""Physics pipeline: init / substepped step over a functional state pytree.
+
+TPU-native counterpart of the reference's pipeline shims
+(dial_mpc_eigen/include/unitree-go2-env.h:215-242) which call mj_forward /
+mj_step on a single shared mjData.  Here state is a pure pytree, so every
+vmapped sample rolls out from its own snapshot — fixing reference quirk Q1
+(shared mutable mjData across candidate rollouts) by construction.
+
+Semantics note (matches MuJoCo/MJX): `mj_step` runs forward dynamics on the
+current state and then integrates, so the derived kinematic quantities stored
+in the returned state correspond to the *pre-integration* configuration of the
+last substep — exactly what the reference env reads after `mj_step`
+(unitree-go2-env.h:433, 461-558).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_dialmpc.core.rotations import quat_integrate
+from tpu_dialmpc.dynamics import collision, constraint, kinematics, smooth, solver
+from tpu_dialmpc.dynamics.model import JNT_FREE, PhysicsModel
+
+
+class PipelineState(NamedTuple):
+    qpos: jnp.ndarray  # (nq,)
+    qvel: jnp.ndarray  # (nv,)
+    qacc_warmstart: jnp.ndarray  # (nv,)
+    # derived quantities from the last forward pass (see module docstring)
+    xpos: jnp.ndarray  # (nbody, 3)
+    xquat: jnp.ndarray  # (nbody, 4)
+    site_xpos: jnp.ndarray  # (nsite, 3)
+    subtree_com: jnp.ndarray  # (nbody, 3)
+    cvel: jnp.ndarray  # (nbody, 6) [ang; lin] com-anchored
+    qfrc_actuator: jnp.ndarray  # (nv,)
+    efc_force: jnp.ndarray  # (nefc_max,) constraint forces
+
+
+_CPARAMS = {}
+
+
+def _get_cparams(model: PhysicsModel):
+    key = id(model)
+    if key not in _CPARAMS:
+        _CPARAMS[key] = collision.contact_params(model)
+    return _CPARAMS[key]
+
+
+def _forward(model: PhysicsModel, qpos, qvel, ctrl):
+    """One forward-dynamics pass: returns (qacc, derived pack)."""
+    cparams = _get_cparams(model)
+    kin = kinematics.kinematics(model, qpos)
+    vel = kinematics.com_vel(model, kin, qvel)
+    m_mat = smooth.crb_mass_matrix(model, kin)
+    qfrc_actuator = smooth.actuator_force(model, ctrl)
+    qfrc_smooth = (
+        smooth.passive_force(model, qvel)
+        + qfrc_actuator
+        - smooth.rne_bias(model, kin, vel, qvel)
+    )
+    chol = jax.scipy.linalg.cho_factor(m_mat)
+    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
+    contacts = collision.collide(model, kin)
+    con = constraint.make_constraints(model, kin, qpos, qvel, contacts, cparams)
+    return kin, vel, m_mat, qacc_smooth, con, qfrc_actuator
+
+
+def _integrate_pos(model: PhysicsModel, qpos, qvel, dt):
+    """Semi-implicit position update per joint type (mj_integratePos)."""
+    out = qpos
+    for j in range(model.njnt):
+        jt = int(model.jnt_type[j])
+        qadr = int(model.jnt_qposadr[j])
+        dadr = int(model.jnt_dofadr[j])
+        if jt == JNT_FREE:
+            out = out.at[qadr : qadr + 3].set(
+                out[qadr : qadr + 3] + dt * qvel[dadr : dadr + 3]
+            )
+            quat = quat_integrate(
+                out[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+            )
+            out = out.at[qadr + 3 : qadr + 7].set(quat)
+        else:
+            out = out.at[qadr].set(out[qadr] + dt * qvel[dadr])
+    return out
+
+
+def init(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray) -> PipelineState:
+    """mj_forward equivalent: populate derived fields at (qpos, qvel)."""
+    ctrl = jnp.zeros(model.nu, qpos.dtype)
+    kin, vel, m_mat, qacc_smooth, con, qfrc_actuator = _forward(
+        model, qpos, qvel, ctrl
+    )
+    res = solver.solve(model, m_mat, qacc_smooth, qacc_smooth, con)
+    return PipelineState(
+        qpos=qpos,
+        qvel=qvel,
+        qacc_warmstart=res.qacc,
+        xpos=kin.xpos,
+        xquat=kin.xquat,
+        site_xpos=kin.site_xpos,
+        subtree_com=kin.subtree_com,
+        cvel=vel.cvel,
+        qfrc_actuator=qfrc_actuator,
+        efc_force=res.efc_force,
+    )
+
+
+def step(
+    model: PhysicsModel,
+    state: PipelineState,
+    ctrl: jnp.ndarray,
+    n_substeps: int = 1,
+) -> PipelineState:
+    """Advance physics by n_substeps * model.timestep under constant ctrl."""
+    dt = model.timestep
+
+    def substep(s: PipelineState, _):
+        kin, vel, m_mat, qacc_smooth, con, qfrc_actuator = _forward(
+            model, s.qpos, s.qvel, ctrl
+        )
+        res = solver.solve(model, m_mat, qacc_smooth, s.qacc_warmstart, con)
+        qvel_new = s.qvel + dt * res.qacc
+        qpos_new = _integrate_pos(model, s.qpos, qvel_new, dt)
+        return (
+            PipelineState(
+                qpos=qpos_new,
+                qvel=qvel_new,
+                qacc_warmstart=res.qacc,
+                xpos=kin.xpos,
+                xquat=kin.xquat,
+                site_xpos=kin.site_xpos,
+                subtree_com=kin.subtree_com,
+                cvel=vel.cvel,
+                qfrc_actuator=qfrc_actuator,
+                efc_force=res.efc_force,
+            ),
+            None,
+        )
+
+    if n_substeps == 1:
+        return substep(state, None)[0]
+    out, _ = jax.lax.scan(substep, state, None, length=n_substeps)
+    return out
