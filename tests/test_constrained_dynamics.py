@@ -1,0 +1,152 @@
+"""Collision / constraint / Newton-solver parity vs the CPU MuJoCo oracle."""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from tpu_dialmpc.dynamics import assets, compile_model, pipeline
+from tpu_dialmpc.dynamics import collision, constraint, solver
+from tpu_dialmpc.dynamics import kinematics as K
+
+
+def _efc_dense_J(m, d):
+    J = np.zeros((d.nefc, m.nv))
+    if d.efc_J.size == d.nefc * m.nv:
+        return d.efc_J.reshape(d.nefc, m.nv)
+    for r in range(d.nefc):
+        adr, nnz = d.efc_J_rowadr[r], d.efc_J_rownnz[r]
+        J[r, d.efc_J_colind[adr : adr + nnz]] = d.efc_J[adr : adr + nnz]
+    return J
+
+
+def _go2_state(seed, drop=0.006, limit_violation=False):
+    m = assets.load_mj_model("go2_force")
+    model = compile_model(m)
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(seed)
+    qpos = m.key_qpos[0].copy()
+    qpos[2] -= drop
+    if limit_violation:
+        qpos[7] = -1.2  # beyond abduction range ±1.0472
+    qvel = rng.normal(scale=0.2, size=m.nv)
+    d.qpos[:], d.qvel[:] = qpos, qvel
+    mujoco.mj_forward(m, d)
+    return m, model, d, qpos, qvel
+
+
+def test_contacts_match_oracle():
+    m, model, d, qpos, qvel = _go2_state(0)
+    kin = K.kinematics(model, qpos)
+    cons = collision.collide(model, kin)
+    cp = collision.contact_params(model)
+    # map oracle contacts by (geom1, geom2) original ids
+    oracle = {
+        (d.contact[i].geom1, d.contact[i].geom2): d.contact[i]
+        for i in range(d.ncon)
+    }
+    n_active = 0
+    for k in range(cp.geom1.shape[0]):
+        key = (
+            int(model.geom_orig_id[cp.geom1[k]]),
+            int(model.geom_orig_id[cp.geom2[k]]),
+        )
+        active = float(cons.dist[k]) < cp.includemargin[k]
+        if active:
+            n_active += 1
+            c = oracle[key]
+            np.testing.assert_allclose(float(cons.dist[k]), c.dist, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(cons.pos[k]), c.pos, atol=1e-10)
+            np.testing.assert_allclose(
+                np.asarray(cons.frame[k]), c.frame.reshape(3, 3), atol=1e-10
+            )
+    assert n_active == d.ncon
+
+
+def test_efc_rows_match_oracle():
+    """J, pos, aref, D row-exact vs MuJoCo (limits + pyramidal contacts)."""
+    m, model, d, qpos, qvel = _go2_state(0, limit_violation=True)
+    J_or = _efc_dense_J(m, d)
+    kin = K.kinematics(model, qpos)
+    cons = collision.collide(model, kin)
+    cp = collision.contact_params(model)
+    con = constraint.make_constraints(model, kin, qpos, qvel, cons, cp)
+    act = np.asarray(con.active)
+    mine = [k for k in range(con.J.shape[0]) if act[k]]
+    assert len(mine) == d.nefc
+    for r, k in zip(range(d.nefc), mine):
+        np.testing.assert_allclose(np.asarray(con.J[k]), J_or[r], atol=1e-10)
+        np.testing.assert_allclose(float(con.pos[k]), d.efc_pos[r], atol=1e-10)
+        np.testing.assert_allclose(float(con.aref[k]), d.efc_aref[r], atol=1e-8)
+        np.testing.assert_allclose(float(con.D[k]), d.efc_D[r], rtol=1e-10)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_constrained_qacc_matches_oracle(seed):
+    m, model, d, qpos, qvel = _go2_state(seed)
+    rng = np.random.default_rng(seed + 100)
+    ctrl = rng.normal(scale=5.0, size=m.nu)
+    d.ctrl[:] = ctrl
+    d.qacc_warmstart[:] = 0
+    mujoco.mj_forward(m, d)
+    kin, vel, m_mat, qacc_smooth, con, _ = pipeline._forward(
+        model, jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl)
+    )
+    res = solver.solve(model, m_mat, qacc_smooth, jnp.zeros(m.nv), con)
+    np.testing.assert_allclose(np.asarray(res.qacc), d.qacc, atol=5e-6)
+
+
+def test_step_trajectory_parity_go2():
+    """200 contact-rich mj_step calls stay within 1e-4 of the oracle."""
+    m = assets.load_mj_model("go2_force")
+    m.opt.timestep = 0.0025
+    model = compile_model(m).with_options(timestep=0.0025)
+    d = mujoco.MjData(m)
+    qpos = m.key_qpos[0].copy()
+    d.qpos[:] = qpos
+    st = pipeline.init(model, jnp.asarray(qpos), jnp.zeros(m.nv))
+    step_j = jax.jit(lambda s, c: pipeline.step(model, s, c, n_substeps=1))
+    for k in range(200):
+        ctrl = 3.0 * np.sin(0.01 * k + np.arange(12))
+        d.ctrl[:] = ctrl
+        mujoco.mj_step(m, d)
+        st = step_j(st, jnp.asarray(ctrl))
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-3)
+
+
+def test_step_trajectory_parity_h1():
+    """H1 humanoid (capsule feet) trajectory parity."""
+    m = assets.load_mj_model("h1_walk")
+    model = compile_model(m)
+    d = mujoco.MjData(m)
+    qpos = m.key_qpos[0].copy() if m.nkey else m.qpos0.copy()
+    d.qpos[:] = qpos
+    st = pipeline.init(model, jnp.asarray(qpos), jnp.zeros(m.nv))
+    step_j = jax.jit(lambda s, c: pipeline.step(model, s, c, n_substeps=1))
+    for k in range(100):
+        ctrl = 10.0 * np.sin(0.02 * k + np.arange(m.nu))
+        d.ctrl[:] = ctrl
+        mujoco.mj_step(m, d)
+        st = step_j(st, jnp.asarray(ctrl))
+    # capsule contacts flip active-state near the margin slightly differently
+    # than MuJoCo's 1-or-2-contact plane-capsule; stays inside the 1e-3
+    # north-star parity budget
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-3)
+
+
+def test_substepping():
+    """n_substeps=8 equals 8 sequential single steps."""
+    m = assets.load_mj_model("go2_force")
+    model = compile_model(m).with_options(timestep=0.0025)
+    qpos = jnp.asarray(m.key_qpos[0])
+    st = pipeline.init(model, qpos, jnp.zeros(m.nv))
+    ctrl = jnp.asarray(np.linspace(-1, 1, m.nu))
+    one = st
+    for _ in range(8):
+        one = pipeline.step(model, one, ctrl, n_substeps=1)
+    eight = pipeline.step(model, st, ctrl, n_substeps=8)
+    np.testing.assert_allclose(
+        np.asarray(eight.qpos), np.asarray(one.qpos), atol=1e-12
+    )

@@ -10,6 +10,8 @@ Soft-constraint parameterization follows the MuJoCo computation spec:
   imp(x): solimp = (dmin, dmax, width, midpoint, power) impedance sigmoid
   aref   = -b·(J qvel) - k·imp·(pos - margin),  k,b from solref
   R      = (1-imp)/imp · diagApprox,  D = 1/R
+(diagApprox: pyramidal contact rows 2·(1+μ²)·invweight, limits/friction rows
+dof_invweight0 — verified row-exact against mjData.efc_D.)
 """
 
 from __future__ import annotations
@@ -165,7 +167,8 @@ def make_constraints(
             for t in range(2):
                 mu = jnp.asarray(cparams.friction[k, t], dtype)
                 j_t = jac_rel @ frame[t + 1]
-                diag = iw + mu * mu * iw
+                # MuJoCo mj_diagApprox: pyramidal rows use 2·(1+μ²)·invweight
+                diag = 2.0 * (iw + mu * mu * iw)
                 for s in (1.0, -1.0):
                     J = j_n + jnp.asarray(s, dtype) * mu * j_t
                     vel = J @ qvel

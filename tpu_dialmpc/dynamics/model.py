@@ -129,6 +129,7 @@ class PhysicsModel:
     site_pos: np.ndarray
     site_quat: np.ndarray
     site_names: Tuple[str, ...]
+    body_names: Tuple[str, ...]
     # ---- actuators (joint-transmission motors) ----
     actuator_dofadr: np.ndarray  # (nu,) target dof of each motor
     actuator_gear: np.ndarray  # (nu,)
@@ -319,6 +320,10 @@ def compile_model(m: mujoco.MjModel) -> PhysicsModel:
         mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_SITE, s) or f"site{s}"
         for s in range(m.nsite)
     )
+    body_names = tuple(
+        mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, b) or f"body{b}"
+        for b in range(m.nbody)
+    )
 
     actuator_dofadr = np.array(
         [m.jnt_dofadr[m.actuator_trnid[i, 0]] for i in range(m.nu)], dtype=np.int32
@@ -380,6 +385,7 @@ def compile_model(m: mujoco.MjModel) -> PhysicsModel:
         site_pos=m.site_pos.copy(),
         site_quat=m.site_quat.copy(),
         site_names=site_names,
+        body_names=body_names,
         actuator_dofadr=actuator_dofadr,
         actuator_gear=m.actuator_gear[:, 0].copy(),
         actuator_ctrlrange=m.actuator_ctrlrange.copy(),

@@ -1,0 +1,322 @@
+"""Unitree Go2 quadruped environment (functional, batched).
+
+Re-implementation of the reference UnitreeGo2Env
+(dial_mpc_eigen/include/unitree-go2-env.h:247-773) over the JAX physics
+pipeline.  Rewards/termination/act maps replicate the reference exactly;
+divergences from the reference's accidental behaviors are config-gated:
+
+- `n_substeps`: the reference applies each control for a single physics step
+  (quirk Q2, unitree-go2-env.h:433); setting n_substeps=round(ctrl_dt/timestep)
+  gives the substepped semantics of the upstream Python DIAL-MPC.
+- functional state: every rollout branches from its own snapshot (fixes Q1).
+- yaw extraction uses the standard atan2 form, not Eigen's [0,π]-clamped
+  eulerAngles (see core/rotations.py docstring).
+
+Config-gated extras carried from the reference's dead-code richer env
+(dial_mpc/include/UnitreeGo2Env.h): 55-dim observation vector, foot contact /
+air-time tracking, energy cost term (weight 0 by default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_dialmpc.core import rotations as rot
+from tpu_dialmpc.dynamics import assets, compile_model, pipeline
+from tpu_dialmpc.dynamics.model import PhysicsModel
+from tpu_dialmpc.envs import gait
+from tpu_dialmpc.envs.base import EnvState, StateInfo
+
+
+@dataclasses.dataclass(frozen=True)
+class UnitreeGo2EnvConfig:
+    """Mirrors UnitreeGo2EnvConfig (unitree-go2-env.h:32-50)."""
+
+    kp: float = 30.0
+    kd: float = 1.0
+    action_scale: float = 1.0
+    default_vx: float = 0.0
+    default_vy: float = 0.0
+    default_vyaw: float = 0.0
+    ramp_up_time: float = 1.0
+    gait: str = "stand"
+    timestep: float = 0.0025
+    randomize_tasks: bool = False
+    leg_control: str = "torque"  # "position" | "torque"
+    # --- extensions over the reference ---
+    n_substeps: int = 1  # 1 replicates reference quirk Q2
+    scene: str = "go2_force"
+    energy_weight: float = 0.0  # dead-code env's energy term (weight 0 there too)
+    dtype: str = "float32"
+
+
+class UnitreeGo2Env:
+    """Pure-functional Go2 env; all methods are jit/vmap-safe."""
+
+    FEET_SITES = ("FL_foot", "FR_foot", "RL_foot", "RR_foot")
+    TORSO_BODY = "base"
+
+    def __init__(self, config: UnitreeGo2EnvConfig = UnitreeGo2EnvConfig()):
+        self.config = config
+        mj = assets.load_mj_model(config.scene)
+        mj.opt.timestep = config.timestep
+        self.model: PhysicsModel = compile_model(mj).with_options(
+            timestep=config.timestep
+        )
+        self._torso_idx = self.model.body_names.index(self.TORSO_BODY)
+        self._feet_site_id = np.array(
+            [self.model.site_names.index(s) for s in self.FEET_SITES]
+        )
+        key_qpos = self.model.key_qpos.get("home")
+        if key_qpos is None:
+            key_qpos = np.array(self.model.qpos0)
+        self._init_q = np.asarray(key_qpos)
+        self._default_pose = self._init_q[7:]
+        # joint limits from the model (unitree-go2-env.h:324-331)
+        hinge = [
+            j for j in range(self.model.njnt) if self.model.jnt_type[j] == 3
+        ]
+        self.joint_range = np.asarray(self.model.jnt_range)[hinge]
+        self.physical_joint_range = self.joint_range.copy()
+        # torque limits from actuator ctrlrange; (0,0) -> unlimited
+        # (unitree-go2-env.h:340-354)
+        cr = np.asarray(self.model.actuator_ctrlrange)
+        unlimited = np.all(np.abs(cr) < 1e-6, axis=1)
+        self.joint_torque_range = np.where(
+            unlimited[:, None], np.array([[-np.inf, np.inf]]), cr
+        )
+        self._foot_radius = 0.0175
+        gait_name = config.gait if config.gait in gait.GAIT_PHASES else "trot"
+        self._gait_phases = np.array(gait.GAIT_PHASES[gait_name])
+        self._gait_params = np.array(gait.GAIT_PARAMS[gait_name])
+        self._dtype = jnp.float32 if config.dtype == "float32" else jnp.float64
+
+    # ------------------------------------------------------------------
+    @property
+    def action_size(self) -> int:
+        return self.model.nu
+
+    @property
+    def dt(self) -> float:
+        """Env step duration (= timestep when n_substeps=1, reference dt())."""
+        return self.config.timestep * self.config.n_substeps
+
+    @property
+    def observation_size(self) -> int:
+        # [vel_tar(3), ang_vel_tar(3), ctrl(nu), qpos(nq), vb(3), ab(3),
+        #  qvel[6:]] — dead-code env obs (dial_mpc/include/UnitreeGo2Env.h:576-639,
+        #  with its swapped-segment bug fixed)
+        return 6 + self.model.nu + self.model.nq + 6 + (self.model.nv - 6)
+
+    # ------------------------------------------------------------------
+    def reset(self, rng: jnp.ndarray) -> EnvState:
+        """unitree-go2-env.h:388-413."""
+        dtype = self._dtype
+        qpos = jnp.asarray(self._init_q, dtype)
+        qvel = jnp.zeros(self.model.nv, dtype)
+        ps = pipeline.init(self.model, qpos, qvel)
+        n_feet = len(self.FEET_SITES)
+        info = StateInfo(
+            rng=rng,
+            pos_tar=jnp.array([0.282, 0.0, 0.3], dtype),
+            vel_tar=jnp.zeros(3, dtype),
+            ang_vel_tar=jnp.zeros(3, dtype),
+            yaw_tar=jnp.asarray(0.0, dtype),
+            step=jnp.asarray(0, jnp.int32),
+            z_feet=jnp.zeros(n_feet, dtype),
+            z_feet_tar=jnp.zeros(n_feet, dtype),
+            last_contact=jnp.zeros(n_feet, bool),
+            feet_air_time=jnp.zeros(n_feet, dtype),
+        )
+        obs = self._get_obs(ps, info, jnp.zeros(self.model.nu, dtype))
+        return EnvState(
+            pipeline=ps,
+            obs=obs,
+            reward=jnp.asarray(0.0, dtype),
+            done=jnp.asarray(False),
+            info=info,
+        )
+
+    # ------------------------------------------------------------------
+    def act2joint(self, act: jnp.ndarray) -> jnp.ndarray:
+        """unitree-go2-env.h:671-696."""
+        jr = jnp.asarray(self.joint_range, act.dtype)
+        pr = jnp.asarray(self.physical_joint_range, act.dtype)
+        act_normalized = (act * self.config.action_scale + 1.0) / 2.0
+        targets = jr[:, 0] + act_normalized * (jr[:, 1] - jr[:, 0])
+        return jnp.clip(targets, pr[:, 0], pr[:, 1])
+
+    def act2tau(self, act: jnp.ndarray, ps: pipeline.PipelineState) -> jnp.ndarray:
+        """PD torque map (unitree-go2-env.h:701-735)."""
+        nu = self.model.nu
+        q = ps.qpos[7 : 7 + nu]
+        qd = ps.qvel[6 : 6 + nu]
+        target = self.act2joint(act)
+        tau = self.config.kp * (target - q) - self.config.kd * qd
+        tr = jnp.asarray(self.joint_torque_range, act.dtype)
+        return jnp.clip(tau, tr[:, 0], tr[:, 1])
+
+    # ------------------------------------------------------------------
+    def sample_command(self, rng: jnp.ndarray):
+        """unitree-go2-env.h:740-753."""
+        k1, k2, k3 = jax.random.split(rng, 3)
+        lx = jax.random.uniform(k1, (), minval=-1.5, maxval=1.5)
+        ly = jax.random.uniform(k2, (), minval=-0.5, maxval=0.5)
+        yw = jax.random.uniform(k3, (), minval=-1.5, maxval=1.5)
+        dtype = self._dtype
+        return (
+            jnp.array([lx, ly, 0.0], dtype),
+            jnp.array([0.0, 0.0, yw], dtype),
+        )
+
+    def _foot_step_target(self, step):
+        duty, cadence, amplitude = self._gait_params
+        phases = jnp.asarray(self._gait_phases, self._dtype)
+        t = step.astype(self._dtype) * self.dt
+        return gait.get_foot_step(duty, cadence, amplitude, phases, t)
+
+    # ------------------------------------------------------------------
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        """unitree-go2-env.h:418-600."""
+        cfg = self.config
+        dtype = self._dtype
+        action = jnp.asarray(action, dtype)
+        info = state.info
+        rng, cmd_rng = jax.random.split(info.rng)
+
+        if cfg.leg_control == "position":
+            ctrl = self.act2joint(action)
+        else:
+            ctrl = self.act2tau(action, state.pipeline)
+
+        ps = pipeline.step(self.model, state.pipeline, ctrl, cfg.n_substeps)
+
+        # command schedule (unitree-go2-env.h:439-457)
+        if cfg.randomize_tasks:
+            do_rand = (info.step % 500) == 0
+            new_vel, new_ang = self.sample_command(cmd_rng)
+            vel_tar = jnp.where(do_rand, new_vel, info.vel_tar)
+            ang_vel_tar = jnp.where(do_rand, new_ang, info.ang_vel_tar)
+        else:
+            # exact reference ramp: min(v·t/T, v) — note this "ramp" snaps
+            # immediately for negative commands, replicated as-is
+            # (unitree-go2-env.h:448-456)
+            t = info.step.astype(dtype) * self.dt
+            frac = t / cfg.ramp_up_time
+            vel_tar = info.vel_tar.at[0].set(
+                jnp.minimum(cfg.default_vx * frac, cfg.default_vx)
+            )
+            vel_tar = vel_tar.at[1].set(
+                jnp.minimum(cfg.default_vy * frac, cfg.default_vy)
+            )
+            ang_vel_tar = info.ang_vel_tar.at[2].set(
+                jnp.minimum(cfg.default_vyaw * frac, cfg.default_vyaw)
+            )
+
+        # ---- rewards (unitree-go2-env.h:459-558) ----
+        z_feet = ps.site_xpos[self._feet_site_id, 2]
+        z_feet_tar = self._foot_step_target(info.step)
+        reward_gaits = -jnp.sum(((z_feet_tar - z_feet) / 0.05) ** 2)
+
+        torso_quat = ps.xquat[self._torso_idx]
+        up_global = jnp.array([0.0, 0.0, 1.0], dtype)
+        up_body = rot.rotate(up_global, torso_quat)
+        reward_upright = -jnp.sum((up_body - up_global) ** 2)
+
+        yaw_tar = info.yaw_tar + ang_vel_tar[2] * self.dt * info.step.astype(dtype)
+        yaw = rot.quat_to_yaw(torso_quat)
+        d_yaw = yaw - yaw_tar
+        wrapped = jnp.arctan2(jnp.sin(d_yaw), jnp.cos(d_yaw))
+        reward_yaw = -(wrapped**2)
+
+        vb, ab = self._body_velocities(ps)
+        reward_vel = -jnp.sum((vb[:2] - vel_tar[:2]) ** 2)
+        reward_ang_vel = -((ab[2] - ang_vel_tar[2]) ** 2)
+
+        z_torso = ps.xpos[self._torso_idx, 2]
+        reward_height = -((z_torso - info.pos_tar[2]) ** 2)
+
+        # energy term from the dead-code env (UnitreeGo2Env.h:699-713)
+        reward_energy = jnp.asarray(0.0, dtype)
+        if cfg.energy_weight != 0.0:
+            tau = ps.qfrc_actuator[6:]
+            qd = ps.qvel[6:]
+            reward_energy = -jnp.sum(
+                jnp.maximum(tau * qd / 160.0, 0.0) ** 2
+            )
+
+        reward = (
+            0.1 * reward_gaits
+            + 0.5 * reward_upright
+            + 0.3 * reward_yaw
+            + 1.0 * reward_vel
+            + 1.0 * reward_ang_vel
+            + 1.0 * reward_height
+            + cfg.energy_weight * reward_energy
+        )
+
+        # ---- termination (unitree-go2-env.h:561-589) ----
+        jr = jnp.asarray(self.joint_range, dtype)
+        joint_angles = ps.qpos[7 : 7 + self.model.nu]
+        out_of_range = jnp.any(
+            (joint_angles < jr[:, 0]) | (joint_angles > jr[:, 1])
+        )
+        done = (
+            (jnp.dot(up_body, up_global) < 0.0)
+            | out_of_range
+            | (z_torso < 0.18)
+        )
+
+        # contact / air-time tracking (dead-code env UnitreeGo2Env.h:415-439)
+        contact = (z_feet - self._foot_radius) < 1e-3
+        contact_filt = contact | info.last_contact
+        first_contact = (info.feet_air_time > 0.0) & contact_filt
+        feet_air_time = jnp.where(
+            contact_filt, 0.0, info.feet_air_time + self.dt
+        )
+        del first_contact  # available for future reward terms
+
+        new_info = StateInfo(
+            rng=rng,
+            pos_tar=info.pos_tar,
+            vel_tar=vel_tar,
+            ang_vel_tar=ang_vel_tar,
+            yaw_tar=info.yaw_tar,
+            step=info.step + 1,
+            z_feet=z_feet,
+            z_feet_tar=z_feet_tar,
+            last_contact=contact,
+            feet_air_time=feet_air_time,
+        )
+        obs = self._get_obs(ps, new_info, ctrl)
+        return EnvState(
+            pipeline=ps,
+            obs=obs,
+            reward=jnp.asarray(reward, dtype),
+            done=done,
+            info=new_info,
+        )
+
+    # ------------------------------------------------------------------
+    def _body_velocities(self, ps: pipeline.PipelineState):
+        """Torso body-frame linear/angular velocity (unitree-go2-env.h:527-552)."""
+        b = self._torso_idx
+        offset = ps.xpos[b] - ps.subtree_com[int(self.model.body_rootid[b])]
+        cvel_ang = ps.cvel[b, :3]
+        cvel_lin = ps.cvel[b, 3:]
+        vel_lin = cvel_lin - jnp.cross(offset, cvel_ang)
+        torso_quat = ps.xquat[b]
+        vb = rot.global_to_body_velocity(vel_lin, torso_quat)
+        ab = rot.global_to_body_velocity(cvel_ang, torso_quat)
+        return vb, ab
+
+    def _get_obs(self, ps, info, ctrl):
+        """55-dim observation (dead-code env UnitreeGo2Env.h:576-639, fixed)."""
+        vb, ab = self._body_velocities(ps)
+        return jnp.concatenate(
+            [info.vel_tar, info.ang_vel_tar, ctrl, ps.qpos, vb, ab, ps.qvel[6:]]
+        )

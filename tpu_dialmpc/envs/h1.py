@@ -1,0 +1,253 @@
+"""Unitree H1 humanoid environments (walk / loco / push-crate).
+
+The reference carries H1 only as model assets (models/unitree_h1/*, consumed
+by the upstream DIAL-MPC task suite — SURVEY §2.4); it ships no H1 env code.
+This env mirrors the Go2 env's reward structure (tracking + gait + upright +
+height) adapted to a biped: two feet sites, torso body "pelvis", biped gait
+tables, and a standing height target read from the home keyframe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_dialmpc.core import rotations as rot
+from tpu_dialmpc.dynamics import assets, compile_model, pipeline
+from tpu_dialmpc.envs import gait
+from tpu_dialmpc.envs.base import EnvState, StateInfo
+
+
+@dataclasses.dataclass(frozen=True)
+class UnitreeH1EnvConfig:
+    kp: float = 200.0
+    kd: float = 5.0
+    action_scale: float = 1.0
+    default_vx: float = 0.0
+    default_vy: float = 0.0
+    default_vyaw: float = 0.0
+    ramp_up_time: float = 1.0
+    gait: str = "stand"
+    timestep: float = 0.0025
+    randomize_tasks: bool = False
+    leg_control: str = "torque"
+    n_substeps: int = 1
+    scene: str = "h1_walk"
+    pos_tar_z: float = 0.98  # pelvis height target (home keyframe height)
+    dtype: str = "float32"
+
+
+class UnitreeH1Env:
+    FEET_SITES = ("left_foot", "right_foot")
+    TORSO_BODY = "pelvis"
+
+    def __init__(self, config: UnitreeH1EnvConfig = UnitreeH1EnvConfig()):
+        self.config = config
+        mj = assets.load_mj_model(config.scene)
+        mj.opt.timestep = config.timestep
+        self.model = compile_model(mj).with_options(timestep=config.timestep)
+        self._torso_idx = self.model.body_names.index(self.TORSO_BODY)
+        self._feet_site_id = np.array(
+            [self.model.site_names.index(s) for s in self.FEET_SITES]
+        )
+        key_qpos = self.model.key_qpos.get("home", np.array(self.model.qpos0))
+        self._init_q = np.asarray(key_qpos)
+        # actuated hinge joints (exclude non-actuated extras like the crate's
+        # slide dof): map actuator -> (jnt qposadr, dofadr, range)
+        dof_to_jnt = {int(self.model.jnt_dofadr[j]): j for j in range(self.model.njnt)}
+        self._act_jnt = [dof_to_jnt[int(d)] for d in self.model.actuator_dofadr]
+        self._act_qadr = np.array(
+            [int(self.model.jnt_qposadr[j]) for j in self._act_jnt]
+        )
+        self._act_dadr = np.array(self.model.actuator_dofadr)
+        self.joint_range = np.asarray(self.model.jnt_range)[self._act_jnt]
+        self.physical_joint_range = self.joint_range.copy()
+        cr = np.asarray(self.model.actuator_ctrlrange)
+        unlimited = np.all(np.abs(cr) < 1e-6, axis=1)
+        self.joint_torque_range = np.where(
+            unlimited[:, None], np.array([[-np.inf, np.inf]]), cr
+        )
+        g = config.gait if config.gait in gait.BIPED_GAIT_PHASES else "walk"
+        self._gait_phases = np.array(gait.BIPED_GAIT_PHASES[g])
+        self._gait_params = np.array(gait.BIPED_GAIT_PARAMS[g])
+        self._dtype = jnp.float32 if config.dtype == "float32" else jnp.float64
+
+    @property
+    def action_size(self) -> int:
+        return self.model.nu
+
+    @property
+    def dt(self) -> float:
+        return self.config.timestep * self.config.n_substeps
+
+    def reset(self, rng: jnp.ndarray) -> EnvState:
+        dtype = self._dtype
+        qpos = jnp.asarray(self._init_q, dtype)
+        qvel = jnp.zeros(self.model.nv, dtype)
+        ps = pipeline.init(self.model, qpos, qvel)
+        n_feet = len(self.FEET_SITES)
+        info = StateInfo(
+            rng=rng,
+            pos_tar=jnp.array([0.0, 0.0, self.config.pos_tar_z], dtype),
+            vel_tar=jnp.zeros(3, dtype),
+            ang_vel_tar=jnp.zeros(3, dtype),
+            yaw_tar=jnp.asarray(0.0, dtype),
+            step=jnp.asarray(0, jnp.int32),
+            z_feet=jnp.zeros(n_feet, dtype),
+            z_feet_tar=jnp.zeros(n_feet, dtype),
+            last_contact=jnp.zeros(n_feet, bool),
+            feet_air_time=jnp.zeros(n_feet, dtype),
+        )
+        obs = self._get_obs(ps, info, jnp.zeros(self.model.nu, dtype))
+        return EnvState(
+            pipeline=ps,
+            obs=obs,
+            reward=jnp.asarray(0.0, dtype),
+            done=jnp.asarray(False),
+            info=info,
+        )
+
+    def act2joint(self, act: jnp.ndarray) -> jnp.ndarray:
+        jr = jnp.asarray(self.joint_range, act.dtype)
+        pr = jnp.asarray(self.physical_joint_range, act.dtype)
+        act_normalized = (act * self.config.action_scale + 1.0) / 2.0
+        targets = jr[:, 0] + act_normalized * (jr[:, 1] - jr[:, 0])
+        return jnp.clip(targets, pr[:, 0], pr[:, 1])
+
+    def act2tau(self, act: jnp.ndarray, ps: pipeline.PipelineState) -> jnp.ndarray:
+        q = ps.qpos[self._act_qadr]
+        qd = ps.qvel[self._act_dadr]
+        target = self.act2joint(act)
+        tau = self.config.kp * (target - q) - self.config.kd * qd
+        tr = jnp.asarray(self.joint_torque_range, act.dtype)
+        return jnp.clip(tau, tr[:, 0], tr[:, 1])
+
+    def sample_command(self, rng: jnp.ndarray):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        lx = jax.random.uniform(k1, (), minval=-1.0, maxval=1.0)
+        ly = jax.random.uniform(k2, (), minval=-0.5, maxval=0.5)
+        yw = jax.random.uniform(k3, (), minval=-1.0, maxval=1.0)
+        dtype = self._dtype
+        return jnp.array([lx, ly, 0.0], dtype), jnp.array([0.0, 0.0, yw], dtype)
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        cfg = self.config
+        dtype = self._dtype
+        action = jnp.asarray(action, dtype)
+        info = state.info
+        rng, cmd_rng = jax.random.split(info.rng)
+
+        if cfg.leg_control == "position":
+            ctrl = self.act2joint(action)
+        else:
+            ctrl = self.act2tau(action, state.pipeline)
+        ps = pipeline.step(self.model, state.pipeline, ctrl, cfg.n_substeps)
+
+        if cfg.randomize_tasks:
+            do_rand = (info.step % 500) == 0
+            new_vel, new_ang = self.sample_command(cmd_rng)
+            vel_tar = jnp.where(do_rand, new_vel, info.vel_tar)
+            ang_vel_tar = jnp.where(do_rand, new_ang, info.ang_vel_tar)
+        else:
+            t = info.step.astype(dtype) * self.dt
+            frac = t / cfg.ramp_up_time
+            vel_tar = info.vel_tar.at[0].set(
+                jnp.minimum(cfg.default_vx * frac, cfg.default_vx)
+            )
+            vel_tar = vel_tar.at[1].set(
+                jnp.minimum(cfg.default_vy * frac, cfg.default_vy)
+            )
+            ang_vel_tar = info.ang_vel_tar.at[2].set(
+                jnp.minimum(cfg.default_vyaw * frac, cfg.default_vyaw)
+            )
+
+        z_feet = ps.site_xpos[self._feet_site_id, 2]
+        duty, cadence, amplitude = self._gait_params
+        phases = jnp.asarray(self._gait_phases, dtype)
+        t_now = info.step.astype(dtype) * self.dt
+        z_feet_tar = gait.get_foot_step(duty, cadence, amplitude, phases, t_now)
+        reward_gaits = -jnp.sum(((z_feet_tar - z_feet) / 0.05) ** 2)
+
+        torso_quat = ps.xquat[self._torso_idx]
+        up_global = jnp.array([0.0, 0.0, 1.0], dtype)
+        up_body = rot.rotate(up_global, torso_quat)
+        reward_upright = -jnp.sum((up_body - up_global) ** 2)
+
+        yaw_tar = info.yaw_tar + ang_vel_tar[2] * self.dt * info.step.astype(dtype)
+        yaw = rot.quat_to_yaw(torso_quat)
+        d_yaw = yaw - yaw_tar
+        wrapped = jnp.arctan2(jnp.sin(d_yaw), jnp.cos(d_yaw))
+        reward_yaw = -(wrapped**2)
+
+        vb, ab = self._body_velocities(ps)
+        reward_vel = -jnp.sum((vb[:2] - vel_tar[:2]) ** 2)
+        reward_ang_vel = -((ab[2] - ang_vel_tar[2]) ** 2)
+
+        z_torso = ps.xpos[self._torso_idx, 2]
+        reward_height = -((z_torso - info.pos_tar[2]) ** 2)
+
+        reward = (
+            0.1 * reward_gaits
+            + 0.5 * reward_upright
+            + 0.3 * reward_yaw
+            + 1.0 * reward_vel
+            + 1.0 * reward_ang_vel
+            + 1.0 * reward_height
+        )
+
+        jr = jnp.asarray(self.joint_range, dtype)
+        joint_angles = ps.qpos[self._act_qadr]
+        out_of_range = jnp.any(
+            (joint_angles < jr[:, 0]) | (joint_angles > jr[:, 1])
+        )
+        done = (
+            (jnp.dot(up_body, up_global) < 0.0)
+            | out_of_range
+            | (z_torso < 0.5)
+        )
+
+        contact = z_feet < 0.05
+        feet_air_time = jnp.where(
+            contact | info.last_contact, 0.0, info.feet_air_time + self.dt
+        )
+
+        new_info = StateInfo(
+            rng=rng,
+            pos_tar=info.pos_tar,
+            vel_tar=vel_tar,
+            ang_vel_tar=ang_vel_tar,
+            yaw_tar=info.yaw_tar,
+            step=info.step + 1,
+            z_feet=z_feet,
+            z_feet_tar=z_feet_tar,
+            last_contact=contact,
+            feet_air_time=feet_air_time,
+        )
+        obs = self._get_obs(ps, new_info, ctrl)
+        return EnvState(
+            pipeline=ps,
+            obs=obs,
+            reward=jnp.asarray(reward, dtype),
+            done=done,
+            info=new_info,
+        )
+
+    def _body_velocities(self, ps):
+        b = self._torso_idx
+        offset = ps.xpos[b] - ps.subtree_com[int(self.model.body_rootid[b])]
+        cvel_ang = ps.cvel[b, :3]
+        cvel_lin = ps.cvel[b, 3:] - jnp.cross(offset, cvel_ang)
+        torso_quat = ps.xquat[b]
+        return (
+            rot.global_to_body_velocity(cvel_lin, torso_quat),
+            rot.global_to_body_velocity(cvel_ang, torso_quat),
+        )
+
+    def _get_obs(self, ps, info, ctrl):
+        vb, ab = self._body_velocities(ps)
+        return jnp.concatenate(
+            [info.vel_tar, info.ang_vel_tar, ctrl, ps.qpos, vb, ab, ps.qvel[6:]]
+        )

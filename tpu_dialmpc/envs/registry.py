@@ -1,0 +1,89 @@
+"""Named task registry: scene + env config + planner defaults per task.
+
+Replaces the reference's hard-coded in-main config blocks
+(dial_mpc_eigen/src/dial-core-test.cpp:8-34, dial-core-simulate.cpp:38-62)
+with a declarative registry covering the full models/ scene inventory
+(SURVEY §2.4): go2 stand/trot/crate, h1 walk/loco/push-crate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict
+
+_REGISTRY: Dict[str, Callable[[], object]] = {}
+
+
+def register_env(name: str):
+    def deco(factory):
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def get_env(name: str, **overrides):
+    """Instantiate a registered task env, with config-field overrides."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown task {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**overrides)
+
+
+def list_envs():
+    return sorted(_REGISTRY)
+
+
+def _go2(defaults):
+    from tpu_dialmpc.envs.go2 import UnitreeGo2Env, UnitreeGo2EnvConfig
+
+    def factory(**overrides):
+        cfg = dataclasses.replace(
+            UnitreeGo2EnvConfig(**defaults), **overrides
+        )
+        return UnitreeGo2Env(cfg)
+
+    return factory
+
+
+def _h1(defaults):
+    from tpu_dialmpc.envs.h1 import UnitreeH1Env, UnitreeH1EnvConfig
+
+    def factory(**overrides):
+        cfg = dataclasses.replace(UnitreeH1EnvConfig(**defaults), **overrides)
+        return UnitreeH1Env(cfg)
+
+    return factory
+
+
+# Go2 tasks.  "go2_stand" mirrors the reference benchmark config
+# (dial-core-test.cpp:8-32: gait=stand, vx=0.8, kp=30, kd=0.65, torque mode).
+_REGISTRY["go2_stand"] = _go2(
+    dict(gait="stand", default_vx=0.8, kp=30.0, kd=0.65, leg_control="torque")
+)
+_REGISTRY["go2_trot"] = _go2(
+    dict(gait="trot", default_vx=0.8, kp=30.0, kd=0.65, leg_control="torque")
+)
+_REGISTRY["go2_walk"] = _go2(
+    dict(gait="walk", default_vx=0.5, kp=30.0, kd=0.65, leg_control="torque")
+)
+_REGISTRY["go2_crate"] = _go2(
+    dict(
+        gait="trot",
+        default_vx=0.5,
+        kp=30.0,
+        kd=0.65,
+        leg_control="torque",
+        scene="go2_force_crate",
+    )
+)
+
+# H1 tasks (scene inventory only in the reference; SURVEY §2.4).
+_REGISTRY["h1_walk"] = _h1(
+    dict(gait="walk", default_vx=0.5, scene="h1_walk")
+)
+_REGISTRY["h1_loco"] = _h1(
+    dict(gait="walk", default_vx=0.5, scene="h1_loco")
+)
+_REGISTRY["h1_push_crate"] = _h1(
+    dict(gait="walk", default_vx=0.3, scene="h1_push_crate")
+)
