@@ -1,0 +1,139 @@
+"""CLI: run / bench / replay DIAL-MPC tasks from YAML or flags.
+
+Replaces the reference's hard-coded in-main configs and absolute model paths
+(dial-core-test.cpp:8-34) with a task registry + config file system (the
+upstream Python dial-mpc used YAML; the C++ fork dropped it — SURVEY §5).
+
+Usage:
+  python -m tpu_dialmpc.cli.main run --task go2_stand --n-steps 100
+  python -m tpu_dialmpc.cli.main run --config cfg.yaml
+  python -m tpu_dialmpc.cli.main bench --task go2_stand --nsample 2048
+  python -m tpu_dialmpc.cli.main replay --trajectory out.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_yaml(path):
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _build(args):
+    from tpu_dialmpc.envs import get_env
+    from tpu_dialmpc.planner.dial import DialConfig
+
+    env_overrides = {}
+    dial_kwargs = {}
+    if args.config:
+        cfg = _load_yaml(args.config)
+        env_overrides.update(cfg.get("env", {}))
+        dial_kwargs.update(cfg.get("dial", {}))
+        task = cfg.get("task", args.task)
+    else:
+        task = args.task
+    if args.nsample:
+        dial_kwargs["Nsample"] = args.nsample
+    if args.hsample:
+        dial_kwargs["Hsample"] = args.hsample
+    if args.n_steps:
+        dial_kwargs["n_steps"] = args.n_steps
+    if args.substeps:
+        env_overrides["n_substeps"] = args.substeps
+    env = get_env(task, **env_overrides)
+    return env, DialConfig(**dial_kwargs), task
+
+
+def cmd_run(args):
+    from tpu_dialmpc.planner import runner
+    from tpu_dialmpc.telemetry import TelemetryStream
+
+    env, dial_cfg, task = _build(args)
+    stream = TelemetryStream(args.telemetry) if args.telemetry else None
+    t0 = time.time()
+    res = runner.run(env, dial_cfg, telemetry=stream)
+    wall = time.time() - t0
+    if stream:
+        stream.close()
+    rewards = np.asarray(res.rewards)
+    print(f"task={task} steps={rewards.shape[0]} wall={wall:.2f}s")
+    print(f"average reward: {rewards.mean():.6f}")  # dial-core-test.cpp:101-106
+    if args.out:
+        np.savez(
+            args.out,
+            rewards=rewards,
+            qpos=np.asarray(res.qpos),
+            us=np.asarray(res.us),
+            dones=np.asarray(res.dones),
+        )
+        print(f"trajectory saved to {args.out}")
+    return 0
+
+
+def cmd_bench(args):
+    import bench as bench_mod  # repo-root bench harness
+
+    line = bench_mod.run_bench(
+        task=args.task,
+        nsample=args.nsample or 2048,
+        hsample=args.hsample or 20,
+        iters=args.iters,
+    )
+    print(json.dumps(line))
+    return 0
+
+
+def cmd_replay(args):
+    """Replay a saved trajectory through the physics, print tracking stats."""
+    import jax.numpy as jnp
+
+    from tpu_dialmpc.envs import get_env
+
+    data = np.load(args.trajectory)
+    env, dial_cfg, task = _build(args)
+    import jax
+
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    drift = []
+    for t in range(data["us"].shape[0]):
+        state = step(state, jnp.asarray(data["us"][t]))
+        drift.append(
+            float(np.linalg.norm(np.asarray(state.pipeline.qpos) - data["qpos"][t]))
+        )
+    print(f"replayed {len(drift)} steps; final qpos drift {drift[-1]:.3e}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpu_dialmpc")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("run", cmd_run), ("bench", cmd_bench), ("replay", cmd_replay)]:
+        sp = sub.add_parser(name)
+        sp.add_argument("--task", default="go2_stand")
+        sp.add_argument("--config", default=None)
+        sp.add_argument("--nsample", type=int, default=None)
+        sp.add_argument("--hsample", type=int, default=None)
+        sp.add_argument("--n-steps", type=int, default=None)
+        sp.add_argument("--substeps", type=int, default=None)
+        sp.add_argument("--telemetry", default=None, help="JSONL output path")
+        sp.add_argument("--out", default=None, help="trajectory .npz output")
+        sp.add_argument("--iters", type=int, default=20)
+        sp.add_argument("--trajectory", default=None)
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

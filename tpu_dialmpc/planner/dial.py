@@ -1,0 +1,237 @@
+"""DIAL-MPC planner (MBDPI): diffusion-style annealed sampling MPC.
+
+TPU-native re-design of the reference MBDPI (dial_mpc_eigen/include/dial-core.h:381-644):
+
+- node↔dense spline transforms are precomputed linear maps (core/spline.py), so
+  candidate generation is one fused einsum instead of per-sample tridiagonal
+  solves (dial-core.h:516-523).
+- `rollout_us` is a `lax.scan` over the horizon (the serial axis), vmapped over
+  the Nsample+1 candidates (the parallel axis) — replacing the reference's
+  sequential double loop (dial-core.h:423-456).  Every candidate rolls from the
+  same snapshot (fixes reference quirk Q1).
+- `reverse_once` is a single jitted function: noise → clip/pin → node2u →
+  vmap(scan(env.step)) → score → stable softmax → weighted update
+  (dial-core.h:469-593).
+- the annealing chain (`reverse`, dial-core.h:598-614) and the per-control-step
+  improvement loop (dial-core-test.cpp:64-99) are `lax.scan`s with the
+  iteration-dependent noise schedule precomputed, so the two n_diffuse variants
+  (Ndiffuse_init at t=0, Ndiffuse after) compile exactly once each.
+
+PRNG: `jax.random` keys split per (control-step, iteration); sampling is a
+single batched normal draw, replacing the reference's sequential mt19937 draws
+(quirk Q3).  `reverse_once` accepts injected noise for parity harnesses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_dialmpc.core import spline
+from tpu_dialmpc.envs.base import EnvState
+
+
+@dataclasses.dataclass(frozen=True)
+class DialConfig:
+    """Planner hyperparameters (dial-core.h:35-49)."""
+
+    seed: int = 0
+    Hsample: int = 16
+    Hnode: int = 4
+    Nsample: int = 20
+    Ndiffuse: int = 2
+    Ndiffuse_init: int = 10
+    temp_sample: float = 0.05
+    horizon_diffuse_factor: float = 0.5
+    ctrl_dt: float = 0.02
+    n_steps: int = 400
+    traj_diffuse_factor: float = 0.5
+    update_method: str = "mppi"
+    # --- extensions ---
+    spline_mode: str = "ref"  # "ref" replicates the C++ spline quirks
+
+
+class ReverseInfo(NamedTuple):
+    """Per-iteration diagnostics (dial-core.h:459-467 'ReverseInfo').
+
+    The reference computes `rews` and zero placeholders (quirk Q4); we surface
+    the useful statistics the plotting fork printed by hand.
+    """
+
+    rews: jnp.ndarray  # (Nsample+1,) per-candidate mean rewards
+    rew_Ybar: jnp.ndarray  # scalar: mean reward of the anchor trajectory
+    weights: jnp.ndarray  # (Nsample+1,) softmax weights
+    ess: jnp.ndarray  # effective sample size 1/Σw²
+    entropy: jnp.ndarray  # softmax weight entropy
+    new_noise_scale: jnp.ndarray  # (Hnode+1,) — unchanged (quirk Q5)
+
+
+class MBDPI:
+    """Model-Based Diffusion Planner (dial-core.h:381-644)."""
+
+    def __init__(self, args: DialConfig, env):
+        self.args = args
+        self.env = env
+        self.nu = env.action_size
+
+        # sigma schedule (dial-core.h:388-395)
+        sigma0, sigma1 = 1e-2, 1.0
+        B = np.log(sigma1 / sigma0) / args.Ndiffuse
+        self.sigmas = sigma0 * np.exp(B * np.arange(args.Ndiffuse))
+        # per-node noise schedule (dial-core.h:397-404)
+        self.sigma_control = args.horizon_diffuse_factor ** np.arange(
+            args.Hnode, -1, -1
+        )
+        # time grids (dial-core.h:406-417) are implicit in the linear maps:
+        mode = args.spline_mode
+        self._node2u = jnp.asarray(
+            spline.node2u_matrix(args.Hnode, args.Hsample, args.ctrl_dt, mode)
+        )
+        self._u2node = jnp.asarray(
+            spline.u2node_matrix(args.Hnode, args.Hsample, args.ctrl_dt, mode)
+        )
+        self._shift = jnp.asarray(
+            spline.shift_matrix(args.Hnode, args.Hsample, args.ctrl_dt, mode)
+        )
+
+    # ------------------------------------------------------------------
+    def node2u(self, nodes: jnp.ndarray) -> jnp.ndarray:
+        """(..., Hnode+1, nu) -> (..., Hsample+1, nu) dense controls."""
+        A = self._node2u.astype(nodes.dtype)
+        return jnp.einsum("qn,...nu->...qu", A, nodes)
+
+    def u2node(self, us: jnp.ndarray) -> jnp.ndarray:
+        A = self._u2node.astype(us.dtype)
+        return jnp.einsum("qn,...nu->...qu", A, us)
+
+    def shift(self, Y: jnp.ndarray) -> jnp.ndarray:
+        """Receding-horizon shift as one precomposed linear map (dial-core.h:621-633)."""
+        A = self._shift.astype(Y.dtype)
+        return jnp.einsum("qn,...nu->...qu", A, Y)
+
+    # ------------------------------------------------------------------
+    def rollout_us(self, state: EnvState, us: jnp.ndarray):
+        """Full reward sequence for a dense control matrix (dial-core.h:423-440)."""
+
+        def body(s, u):
+            s2 = self.env.step(s, u)
+            return s2, s2.reward
+
+        final, rews = jax.lax.scan(body, state, us)
+        return rews, final
+
+    def rollout_us_batch(self, state: EnvState, all_us: jnp.ndarray):
+        """vmap over candidates; every rollout starts from `state` (fixes Q1)."""
+        return jax.vmap(lambda us: self.rollout_us(state, us)[0])(all_us)
+
+    # ------------------------------------------------------------------
+    def reverse_once(
+        self,
+        state: EnvState,
+        rng: jnp.ndarray,
+        Ybar_i: jnp.ndarray,
+        noise_scale: jnp.ndarray,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, ReverseInfo]:
+        """One annealing step (dial-core.h:469-593)."""
+        args = self.args
+        dtype = Ybar_i.dtype
+        if noise is None:
+            noise = jax.random.normal(
+                rng, (args.Nsample, args.Hnode + 1, self.nu), dtype
+            )
+        eps = noise * noise_scale.astype(dtype)[None, :, None]
+        Y0s = Ybar_i[None] + eps
+        # pin the first (currently executing) node (dial-core.h:493)
+        Y0s = Y0s.at[:, 0, :].set(Ybar_i[0])
+        all_Y0s = jnp.concatenate([Y0s, Ybar_i[None]], axis=0)
+        all_Y0s = jnp.clip(all_Y0s, -1.0, 1.0)
+
+        all_us = self.node2u(all_Y0s)  # (Nsample+1, Hsample+1, nu)
+        rewss = self.rollout_us_batch(state, all_us)  # (Nsample+1, Hsample+1)
+
+        rews = rewss.mean(axis=-1)
+        rew_Ybar = rewss[-1].mean()
+        # std across time with the reference's variance floor (dial-core.h:541-556)
+        var = jnp.mean((rewss - rews[:, None]) ** 2, axis=-1)
+        std = jnp.where(var > 1e-14, jnp.sqrt(var), 1e-7)
+        logp0 = (rews - rew_Ybar) / (std * args.temp_sample)
+
+        logp0 = logp0 - jnp.max(logp0)
+        weights = jax.nn.softmax(logp0)
+        Ybar = jnp.einsum("n,nij->ij", weights, all_Y0s)
+
+        info = ReverseInfo(
+            rews=rews,
+            rew_Ybar=rew_Ybar,
+            weights=weights,
+            ess=1.0 / jnp.sum(weights**2),
+            entropy=-jnp.sum(weights * jnp.log(weights + 1e-30)),
+            new_noise_scale=noise_scale,
+        )
+        return Ybar, info
+
+    # ------------------------------------------------------------------
+    def reverse(
+        self, state: EnvState, YN: jnp.ndarray, rng: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Warm-start chain: i = Ndiffuse-1 … 1 (dial-core.h:598-614)."""
+        args = self.args
+        if args.Ndiffuse < 2:
+            return YN
+        scales = jnp.asarray(
+            np.stack(
+                [
+                    np.full(args.Hnode + 1, self.sigmas[i])
+                    for i in range(args.Ndiffuse - 1, 0, -1)
+                ]
+            ),
+            YN.dtype,
+        )
+        keys = jax.random.split(rng, scales.shape[0])
+
+        def body(Y, inp):
+            key, scale = inp
+            Y2, _ = self.reverse_once(state, key, Y, scale)
+            return Y2, None
+
+        Y, _ = jax.lax.scan(body, YN, (keys, scales))
+        return Y
+
+    # ------------------------------------------------------------------
+    def improve(
+        self,
+        state: EnvState,
+        Y0: jnp.ndarray,
+        rng: jnp.ndarray,
+        n_diffuse: int,
+    ) -> Tuple[jnp.ndarray, ReverseInfo]:
+        """n_diffuse reverse_once steps with the annealed schedule
+        factor = sigma_control · traj_diffuse_factor^i  (dial-core-test.cpp:84-92).
+
+        n_diffuse is static — the two variants (Ndiffuse_init / Ndiffuse)
+        compile once each.
+        """
+        args = self.args
+        scales = jnp.asarray(
+            np.stack(
+                [
+                    self.sigma_control * args.traj_diffuse_factor**i
+                    for i in range(n_diffuse)
+                ]
+            ),
+            Y0.dtype,
+        )
+        keys = jax.random.split(rng, n_diffuse)
+
+        def body(Y, inp):
+            key, scale = inp
+            Y2, info = self.reverse_once(state, key, Y, scale)
+            return Y2, info
+
+        Y, infos = jax.lax.scan(body, Y0, (keys, scales))
+        return Y, infos

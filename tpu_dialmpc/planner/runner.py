@@ -1,0 +1,134 @@
+"""Receding-horizon DIAL-MPC driver (counterpart of dial-core-test.cpp:6-109).
+
+Two execution modes:
+- `run`: host loop with per-step telemetry callbacks (control-latency path);
+  the jitted control step keeps the device busy, Y0[0] stays on-device, and
+  only small diagnostics cross to the host.
+- `run_scan`: the whole n_steps rollout is one `lax.scan` on device — the
+  benchmark path (no host syncs at all), returning stacked trajectories
+  (the `all_us`/`all_xs` analog of dial-core-simulate.cpp:83-171 for replay).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_dialmpc.envs.base import EnvState
+from tpu_dialmpc.planner.dial import DialConfig, MBDPI
+
+
+class RunResult(NamedTuple):
+    rewards: jnp.ndarray  # (n_steps,)
+    dones: jnp.ndarray  # (n_steps,)
+    qpos: jnp.ndarray  # (n_steps, nq) executed trajectory
+    us: jnp.ndarray  # (n_steps, nu) executed controls
+    final_state: EnvState
+    final_Y0: jnp.ndarray
+
+
+def make_control_step(mbdpi: MBDPI, n_diffuse: int):
+    """One receding-horizon step: execute, shift, anneal (dial-core-test.cpp:64-99)."""
+
+    @jax.jit
+    def control_step(state: EnvState, Y0: jnp.ndarray, key: jnp.ndarray):
+        action = Y0[0]
+        state2 = mbdpi.env.step(state, action)
+        Y1 = mbdpi.shift(Y0)
+        Y2, infos = mbdpi.improve(state2, Y1, key, n_diffuse)
+        return state2, Y2, infos
+
+    return control_step
+
+
+def run(
+    env,
+    cfg: DialConfig,
+    telemetry=None,
+    n_steps: Optional[int] = None,
+) -> RunResult:
+    """Host-loop driver with optional telemetry sink."""
+    mbdpi = MBDPI(cfg, env)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, reset_key, warm_key = jax.random.split(key, 3)
+    state = env.reset(reset_key)
+    Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size), state.obs.dtype)
+    Y0 = jax.jit(mbdpi.reverse)(state, Y0, warm_key)
+
+    step_init = make_control_step(mbdpi, cfg.Ndiffuse_init)
+    step_rest = make_control_step(mbdpi, cfg.Ndiffuse)
+
+    n = cfg.n_steps if n_steps is None else n_steps
+    rewards, dones, qpos_traj, us_traj = [], [], [], []
+    for t in range(n):
+        key, k = jax.random.split(key)
+        fn = step_init if t == 0 else step_rest
+        action = Y0[0]
+        state, Y0, infos = fn(state, Y0, k)
+        rewards.append(state.reward)
+        dones.append(state.done)
+        qpos_traj.append(state.pipeline.qpos)
+        us_traj.append(action)
+        if telemetry is not None:
+            telemetry.emit_step(t, state, infos)
+    return RunResult(
+        rewards=jnp.stack(rewards),
+        dones=jnp.stack(dones),
+        qpos=jnp.stack(qpos_traj),
+        us=jnp.stack(us_traj),
+        final_state=state,
+        final_Y0=Y0,
+    )
+
+
+def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
+    """Fully on-device driver: one lax.scan over control steps (bench path)."""
+    mbdpi = MBDPI(cfg, env)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, reset_key, warm_key = jax.random.split(key, 3)
+    state = env.reset(reset_key)
+    Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size), state.obs.dtype)
+    n = cfg.n_steps if n_steps is None else n_steps
+
+    @jax.jit
+    def full_run(state, Y0, key):
+        Y0 = mbdpi.reverse(state, Y0, warm_key)
+
+        def first_step(carry):
+            state, Y0, key = carry
+            key, k = jax.random.split(key)
+            action = Y0[0]
+            state2 = env.step(state, action)
+            Y1 = mbdpi.shift(Y0)
+            Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse_init)
+            return (state2, Y2, key), (state2.reward, state2.done, state2.pipeline.qpos, action)
+
+        def body(carry, _):
+            state, Y0, key = carry
+            key, k = jax.random.split(key)
+            action = Y0[0]
+            state2 = env.step(state, action)
+            Y1 = mbdpi.shift(Y0)
+            Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse)
+            return (state2, Y2, key), (state2.reward, state2.done, state2.pipeline.qpos, action)
+
+        carry, out0 = first_step((state, Y0, key))
+        carry, outs = jax.lax.scan(body, carry, None, length=n - 1)
+        state, Y0, _ = carry
+        stacked = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs
+        )
+        return state, Y0, stacked
+
+    state, Y0, (rewards, dones, qpos, us) = full_run(state, Y0, key)
+    return RunResult(
+        rewards=rewards,
+        dones=dones,
+        qpos=qpos,
+        us=us,
+        final_state=state,
+        final_Y0=Y0,
+    )

@@ -1,0 +1,104 @@
+"""Sample-parallel MBDPI: the annealing step sharded over a device mesh.
+
+Design (GSPMD/pjit, not hand-written collectives): the (Nsample, Hnode+1, nu)
+candidate tensor and its rollouts carry sharding constraints on the sample
+axis; XLA then lowers
+  - the softmax max/sum (dial-core.h:566-570) to a pmax/psum logsumexp over
+    the mesh, and
+  - the weighted update Σ wᵢY0sᵢ (dial-core.h:370-375) to locally-weighted
+    partial sums + one psum of (Hnode+1, nu)
+exactly as a hand-rolled shard_map would, but fused with the rollout
+computation.  The anchor trajectory Ybar is rolled out redundantly on every
+device (1/Nsample extra work) so the sharded axis stays exactly Nsample.
+
+Determinism: noise is drawn with the partitionable threefry generator keyed by
+global sample index, so Nsample=2048 yields bit-identical candidates on 1 chip
+and on any mesh shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from tpu_dialmpc.envs.base import EnvState
+from tpu_dialmpc.planner.dial import DialConfig, MBDPI, ReverseInfo
+
+jax.config.update("jax_threefry_partitionable", True)
+
+
+class ShardedMBDPI(MBDPI):
+    """MBDPI with the sample axis sharded over `mesh`."""
+
+    def __init__(self, args: DialConfig, env, mesh: Mesh):
+        super().__init__(args, env)
+        self.mesh = mesh
+        self._sample_sharding = NamedSharding(
+            mesh, PartitionSpec(("dcn", "sample"))
+        )
+
+    def _shard(self, x):
+        return jax.lax.with_sharding_constraint(x, self._sample_sharding)
+
+    def reverse_once(
+        self,
+        state: EnvState,
+        rng: jnp.ndarray,
+        Ybar_i: jnp.ndarray,
+        noise_scale: jnp.ndarray,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, ReverseInfo]:
+        args = self.args
+        dtype = Ybar_i.dtype
+        if noise is None:
+            noise = jax.random.normal(
+                rng, (args.Nsample, args.Hnode + 1, self.nu), dtype
+            )
+        noise = self._shard(noise)
+        eps = noise * noise_scale.astype(dtype)[None, :, None]
+        Y0s = Ybar_i[None] + eps
+        Y0s = Y0s.at[:, 0, :].set(Ybar_i[0])
+        Y0s = jnp.clip(Y0s, -1.0, 1.0)
+        Y0s = self._shard(Y0s)
+        Ybar_c = jnp.clip(Ybar_i, -1.0, 1.0)
+
+        us = self._shard(self.node2u(Y0s))  # (Nsample, Hsample+1, nu)
+        rewss = self._shard(self.rollout_us_batch(state, us))  # (Nsample, T)
+        rews_ybar_t, _ = self.rollout_us(state, self.node2u(Ybar_c))
+
+        rews = rewss.mean(axis=-1)  # (Nsample,) sharded
+        rew_Ybar = rews_ybar_t.mean()  # replicated scalar
+        var = jnp.mean((rewss - rews[:, None]) ** 2, axis=-1)
+        std = jnp.where(var > 1e-14, jnp.sqrt(var), 1e-7)
+        logp0 = (rews - rew_Ybar) / (std * args.temp_sample)
+
+        var_y = jnp.mean((rews_ybar_t - rew_Ybar) ** 2)
+        std_y = jnp.where(var_y > 1e-14, jnp.sqrt(var_y), 1e-7)
+        logp_ybar = (rew_Ybar - rew_Ybar) / (std_y * args.temp_sample)
+
+        # global stable softmax over Nsample sharded + 1 replicated score:
+        # XLA lowers the max/sum reductions to mesh collectives.
+        m = jnp.maximum(jnp.max(logp0), logp_ybar)
+        e = jnp.exp(logp0 - m)
+        e_ybar = jnp.exp(logp_ybar - m)
+        denom = jnp.sum(e) + e_ybar
+        w = e / denom  # sharded (Nsample,)
+        w_ybar = e_ybar / denom
+
+        # weighted update: local partial sums + psum of (Hnode+1, nu)
+        Ybar = jnp.einsum("n,nij->ij", w, Y0s) + w_ybar * Ybar_c
+
+        rews_all = jnp.concatenate([rews, rew_Ybar[None]])
+        w_all = jnp.concatenate([w, w_ybar[None]])
+        info = ReverseInfo(
+            rews=rews_all,
+            rew_Ybar=rew_Ybar,
+            weights=w_all,
+            ess=1.0 / jnp.sum(w_all**2),
+            entropy=-jnp.sum(w_all * jnp.log(w_all + 1e-30)),
+            new_noise_scale=noise_scale,
+        )
+        return Ybar, info

