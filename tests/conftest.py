@@ -10,6 +10,10 @@ backend-initialization time as long as no computation has run yet.
 
 import os
 
+# avoid the persistent XLA cache in tests (remote-compiled CPU AOT artifacts
+# can carry mismatched machine features)
+os.environ.setdefault("TPU_DIALMPC_NO_CACHE", "1")
+
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

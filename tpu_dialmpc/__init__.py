@@ -18,3 +18,20 @@ The reference implementation is cited throughout as `dial_mpc_eigen/...:<line>`
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the planner graphs are large (full physics
+# under vmap∘scan), so first-compile is expensive — cache it across processes.
+if not _os.environ.get("TPU_DIALMPC_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "TPU_DIALMPC_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "tpu_dialmpc_xla"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these flags
+        pass

@@ -112,13 +112,13 @@ def kinematics(model: PhysicsModel, qpos: jnp.ndarray) -> Kinematics:
                 axis_w = rotate(jnp.asarray(model.jnt_axis[j], dtype), quat)
                 # anchor is at the reference (untranslated) joint position
                 xanchor[j] = pos + rotate(jnp.asarray(model.jnt_pos[j], dtype), quat)
-                pos = pos + axis_w * (qpos[qadr] - model.qpos0[qadr])
+                pos = pos + axis_w * (qpos[qadr] - float(model.qpos0[qadr]))
                 xaxis[j] = axis_w
             elif jt == JNT_HINGE:
                 anchor = pos + rotate(jnp.asarray(model.jnt_pos[j], dtype), quat)
                 qloc = axis_angle_quat(
                     jnp.asarray(model.jnt_axis[j], dtype),
-                    qpos[qadr] - model.qpos0[qadr],
+                    qpos[qadr] - float(model.qpos0[qadr]),
                 )
                 quat = quat_mul(quat, qloc)
                 pos = anchor - rotate(jnp.asarray(model.jnt_pos[j], dtype), quat)

@@ -22,11 +22,27 @@ import numpy as np
 class TelemetryStream:
     """JSONL telemetry writer with a background thread."""
 
-    def __init__(self, path: Optional[str] = None, maxsize: int = 4096):
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        maxsize: int = 4096,
+        backend: str = "auto",
+    ):
         self.path = path
         self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
-        self._file = open(path, "w") if path else None
         self._records = []
+        self._native = None
+        self._file = None
+        if path and backend in ("auto", "native"):
+            try:
+                from tpu_dialmpc.native import NativeSink
+
+                self._native = NativeSink(path, capacity=maxsize)
+            except Exception:
+                if backend == "native":
+                    raise
+        if path and self._native is None:
+            self._file = open(path, "w")
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._writer, daemon=True)
         self._thread.start()
@@ -68,12 +84,18 @@ class TelemetryStream:
             except queue.Empty:
                 continue
             self._records.append(rec)
-            if self._file:
-                self._file.write(json.dumps(rec) + "\n")
+            line = json.dumps(rec)
+            if self._native is not None:
+                self._native.push(line)
+            elif self._file:
+                self._file.write(line + "\n")
 
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        if self._native is not None:
+            self._native.close()
+            self._native = None
         if self._file:
             self._file.flush()
             self._file.close()
