@@ -21,7 +21,14 @@ import jax
 import jax.numpy as jnp
 
 from tpu_dialmpc.core.rotations import quat_integrate
-from tpu_dialmpc.dynamics import collision, constraint, kinematics, smooth, solver
+from tpu_dialmpc.dynamics import (
+    collision,
+    constraint,
+    kinematics,
+    linalg,
+    smooth,
+    solver,
+)
 from tpu_dialmpc.dynamics.model import JNT_FREE, PhysicsModel
 
 
@@ -61,8 +68,7 @@ def _forward(model: PhysicsModel, qpos, qvel, ctrl):
         + qfrc_actuator
         - smooth.rne_bias(model, kin, vel, qvel)
     )
-    chol = jax.scipy.linalg.cho_factor(m_mat)
-    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
+    qacc_smooth = linalg.solve_psd(m_mat, qfrc_smooth)
     contacts = collision.collide(model, kin)
     con = constraint.make_constraints(model, kin, qpos, qvel, contacts, cparams)
     return kin, vel, m_mat, qacc_smooth, con, qfrc_actuator

@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tpu_dialmpc.dynamics import linalg
 from tpu_dialmpc.dynamics.constraint import Constraints
 from tpu_dialmpc.dynamics.model import PhysicsModel
 
@@ -95,9 +96,8 @@ def solve(
         _, dcost, hcost = _s_terms(x, D, floss, row_active)
         grad = m_mat @ (a - qacc_smooth) + J.T @ dcost
         H = m_mat + (J.T * hcost[None, :]) @ J
-        # jitter for safety; H is SPD (M SPD, h >= 0)
-        chol = jax.scipy.linalg.cho_factor(H + 1e-12 * eye)
-        delta = -jax.scipy.linalg.cho_solve(chol, grad)
+        # unrolled small-matrix cholesky (linalg.py); H is SPD (M SPD, h >= 0)
+        delta = -linalg.solve_psd(H, grad)
 
         # line search: Newton on φ'(α), exact for fixed active set
         jd = J @ delta
