@@ -153,6 +153,75 @@ class PhysicsModel:
         return sum(p.geom1.shape[0] * p.ncon for p in self.pairs.values())
 
 
+def save_model(model: PhysicsModel, path: str) -> None:
+    """Serialize a compiled PhysicsModel to .npz (runtime needs no MJCF)."""
+    import json
+
+    flat = {}
+    meta = {"scalars": {}, "site_names": list(model.site_names),
+            "body_names": list(model.body_names), "key_names": list(model.key_qpos),
+            "pair_kinds": [], "pair_ncon": []}
+    for f in dataclasses.fields(model):
+        v = getattr(model, f.name)
+        if isinstance(v, (int, float)):
+            meta["scalars"][f.name] = v
+        elif isinstance(v, np.ndarray):
+            flat[f.name] = v
+    for i, name in enumerate(model.key_qpos):
+        flat[f"key_{i}"] = model.key_qpos[name]
+    for kind in sorted(model.pairs):
+        p = model.pairs[kind]
+        meta["pair_kinds"].append(list(kind))
+        meta["pair_ncon"].append(p.ncon)
+        tag = f"pair_{kind[0]}_{kind[1]}"
+        for pf in CollisionPairs.__dataclass_fields__:
+            if pf == "ncon":
+                continue
+            flat[f"{tag}_{pf}"] = getattr(p, pf)
+    flat["gravity"] = model.gravity
+    np.savez(path, meta=json.dumps(meta), **flat)
+
+
+def load_model(path: str) -> PhysicsModel:
+    """Load a PhysicsModel serialized by save_model."""
+    import json
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["meta"]))
+    kwargs = dict(meta["scalars"])
+    array_fields = {
+        f.name
+        for f in dataclasses.fields(PhysicsModel)
+        if f.name not in kwargs
+        and f.name not in ("site_names", "body_names", "key_qpos", "pairs")
+    }
+    for name in array_fields:
+        kwargs[name] = data[name]
+    kwargs["site_names"] = tuple(meta["site_names"])
+    kwargs["body_names"] = tuple(meta["body_names"])
+    kwargs["key_qpos"] = {
+        name: data[f"key_{i}"] for i, name in enumerate(meta["key_names"])
+    }
+    pairs = {}
+    for kind_l, ncon in zip(meta["pair_kinds"], meta["pair_ncon"]):
+        kind = (int(kind_l[0]), int(kind_l[1]))
+        tag = f"pair_{kind[0]}_{kind[1]}"
+        pairs[kind] = CollisionPairs(
+            geom1=data[f"{tag}_geom1"],
+            geom2=data[f"{tag}_geom2"],
+            condim=data[f"{tag}_condim"],
+            friction=data[f"{tag}_friction"],
+            solref=data[f"{tag}_solref"],
+            solimp=data[f"{tag}_solimp"],
+            margin=data[f"{tag}_margin"],
+            gap=data[f"{tag}_gap"],
+            invweight=data[f"{tag}_invweight"],
+            ncon=int(ncon),
+        )
+    kwargs["pairs"] = pairs
+    return PhysicsModel(**kwargs)
+
+
 def _mix_solref_solimp(m: mujoco.MjModel, g1: int, g2: int):
     """Contact parameter combination per MuJoCo's priority/solmix rules."""
     p1, p2 = m.geom_priority[g1], m.geom_priority[g2]

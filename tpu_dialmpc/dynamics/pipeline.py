@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_dialmpc.core.rotations import quat_integrate
 from tpu_dialmpc.dynamics import (
@@ -74,23 +75,45 @@ def _forward(model: PhysicsModel, qpos, qvel, ctrl):
     return kin, vel, m_mat, qacc_smooth, con, qfrc_actuator
 
 
+_VEL_MAPS = {}
+
+
+def _vel_to_qpos_map(model: PhysicsModel) -> np.ndarray:
+    """(nq, nv) matrix scattering linear dof velocities into qpos slots
+    (zero rows for quaternion components, handled separately)."""
+    key = id(model)
+    if key not in _VEL_MAPS:
+        S = np.zeros((model.nq, model.nv))
+        for j in range(model.njnt):
+            jt = int(model.jnt_type[j])
+            qadr = int(model.jnt_qposadr[j])
+            dadr = int(model.jnt_dofadr[j])
+            if jt == JNT_FREE:
+                for i in range(3):
+                    S[qadr + i, dadr + i] = 1.0
+            else:
+                S[qadr, dadr] = 1.0
+        _VEL_MAPS[key] = S
+    return _VEL_MAPS[key]
+
+
 def _integrate_pos(model: PhysicsModel, qpos, qvel, dt):
-    """Semi-implicit position update per joint type (mj_integratePos)."""
-    out = qpos
+    """Semi-implicit position update (mj_integratePos).
+
+    One matvec handles every linear qpos slot; only free-joint quaternions
+    need a dynamic-update-slice (1 per free joint).
+    """
+    S = jnp.asarray(_vel_to_qpos_map(model), qpos.dtype)
+    out = qpos + dt * (S @ qvel)
     for j in range(model.njnt):
-        jt = int(model.jnt_type[j])
+        if int(model.jnt_type[j]) != JNT_FREE:
+            continue
         qadr = int(model.jnt_qposadr[j])
         dadr = int(model.jnt_dofadr[j])
-        if jt == JNT_FREE:
-            out = out.at[qadr : qadr + 3].set(
-                out[qadr : qadr + 3] + dt * qvel[dadr : dadr + 3]
-            )
-            quat = quat_integrate(
-                out[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
-            )
-            out = out.at[qadr + 3 : qadr + 7].set(quat)
-        else:
-            out = out.at[qadr].set(out[qadr] + dt * qvel[dadr])
+        quat = quat_integrate(
+            qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+        )
+        out = out.at[qadr + 3 : qadr + 7].set(quat)
     return out
 
 

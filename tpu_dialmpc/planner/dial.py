@@ -53,6 +53,12 @@ class DialConfig:
     update_method: str = "mppi"
     # --- extensions ---
     spline_mode: str = "ref"  # "ref" replicates the C++ spline quirks
+    # Reference quirk Q1 compat (SURVEY §2.5): the C++ shares one mutable
+    # mjData across candidate rollouts, so candidate i starts from candidate
+    # i-1's terminal physics state (dial-core.h:443-456 + unitree-go2-env.h:433).
+    # True replicates that (sequential chaining — parity harness only);
+    # False (default) rolls every candidate from the common snapshot.
+    compat_q1: bool = False
 
 
 class ReverseInfo(NamedTuple):
@@ -114,30 +120,94 @@ class MBDPI:
         return jnp.einsum("qn,...nu->...qu", A, Y)
 
     # ------------------------------------------------------------------
+    # Rollouts carry only the *live* state (qpos, qvel, warmstart, info):
+    # env.step never reads the derived kinematic fields of its input, so
+    # keeping them in the scan carry would thread ~5x dead data through the
+    # loop (and pin layouts).  The full EnvState template is closed over just
+    # for pytree structure; its derived fields are dead code under the scan.
+    def _lean(self, state):
+        if not hasattr(state, "pipeline"):
+            return state  # non-physics envs (tests): the whole state is live
+        return (
+            state.pipeline.qpos,
+            state.pipeline.qvel,
+            state.pipeline.qacc_warmstart,
+            state.info,
+        )
+
+    def _restore(self, template, carry):
+        if not hasattr(template, "pipeline"):
+            return carry
+        qpos, qvel, ws, info = carry
+        return template._replace(
+            pipeline=template.pipeline._replace(
+                qpos=qpos, qvel=qvel, qacc_warmstart=ws
+            ),
+            info=info,
+        )
+
     def rollout_us(self, state: EnvState, us: jnp.ndarray):
         """Full reward sequence for a dense control matrix (dial-core.h:423-440)."""
 
-        def body(s, u):
-            s2 = self.env.step(s, u)
-            return s2, s2.reward
+        def body(carry, u):
+            s2 = self.env.step(self._restore(state, carry), u)
+            return self._lean(s2), s2.reward
 
-        final, rews = jax.lax.scan(body, state, us)
+        final, rews = jax.lax.scan(body, self._lean(state), us)
         return rews, final
 
     def rollout_us_batch(self, state: EnvState, all_us: jnp.ndarray):
-        """vmap over candidates; every rollout starts from `state` (fixes Q1)."""
-        return jax.vmap(lambda us: self.rollout_us(state, us)[0])(all_us)
+        """vmap over candidates; every rollout starts from `state` (fixes Q1).
+
+        The initial carry is broadcast to the batch explicitly — vmapping a
+        closed-over (unbatched) state measured ~13x slower on TPU.
+        """
+        B = all_us.shape[0]
+        carry0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), self._lean(state)
+        )
+
+        def one(carry, us):
+            def body(c, u):
+                s2 = self.env.step(self._restore(state, c), u)
+                return self._lean(s2), s2.reward
+
+            _, rews = jax.lax.scan(body, carry, us)
+            return rews
+
+        return jax.vmap(one)(carry0, all_us)
+
+    def rollout_us_batch_compat_q1(self, state: EnvState, all_us: jnp.ndarray):
+        """Reference-quirk-Q1 rollouts: candidates chained sequentially.
+
+        The physics carry (qpos, qvel, warmstart) persists across candidates
+        (the shared-mjData behavior); StateInfo resets to the snapshot's per
+        candidate (C++ EnvState copies are by-value except the data pointer).
+        Returns (rewss, final_phys_carry) — the C++ even *executes* its next
+        control from that final rollout state.  Parity fixture, not for
+        production.
+        """
+        info0 = state.info
+
+        def one_candidate(phys_carry, us):
+            def body(c, u):
+                phys, info = c
+                qpos, qvel, ws = phys
+                s = self._restore(state, (qpos, qvel, ws, info))
+                s2 = self.env.step(s, u)
+                lean = self._lean(s2)
+                return ((lean[0], lean[1], lean[2]), lean[3]), s2.reward
+
+            (phys_out, _), rews = jax.lax.scan(body, (phys_carry, info0), us)
+            return phys_out, rews
+
+        phys0 = self._lean(state)[:3]
+        phys_final, rewss = jax.lax.scan(one_candidate, phys0, all_us)
+        return rewss, phys_final
 
     # ------------------------------------------------------------------
-    def reverse_once(
-        self,
-        state: EnvState,
-        rng: jnp.ndarray,
-        Ybar_i: jnp.ndarray,
-        noise_scale: jnp.ndarray,
-        noise: Optional[jnp.ndarray] = None,
-    ) -> Tuple[jnp.ndarray, ReverseInfo]:
-        """One annealing step (dial-core.h:469-593)."""
+    def _candidates(self, rng, Ybar_i, noise_scale, noise):
+        """Noisy node-trajectory candidates + appended anchor (dial-core.h:477-514)."""
         args = self.args
         dtype = Ybar_i.dtype
         if noise is None:
@@ -149,22 +219,20 @@ class MBDPI:
         # pin the first (currently executing) node (dial-core.h:493)
         Y0s = Y0s.at[:, 0, :].set(Ybar_i[0])
         all_Y0s = jnp.concatenate([Y0s, Ybar_i[None]], axis=0)
-        all_Y0s = jnp.clip(all_Y0s, -1.0, 1.0)
+        return jnp.clip(all_Y0s, -1.0, 1.0)
 
-        all_us = self.node2u(all_Y0s)  # (Nsample+1, Hsample+1, nu)
-        rewss = self.rollout_us_batch(state, all_us)  # (Nsample+1, Hsample+1)
-
+    def _score_update(self, rewss, all_Y0s, noise_scale):
+        """Score, softmax, weighted average (dial-core.h:529-592)."""
+        args = self.args
         rews = rewss.mean(axis=-1)
         rew_Ybar = rewss[-1].mean()
         # std across time with the reference's variance floor (dial-core.h:541-556)
         var = jnp.mean((rewss - rews[:, None]) ** 2, axis=-1)
         std = jnp.where(var > 1e-14, jnp.sqrt(var), 1e-7)
         logp0 = (rews - rew_Ybar) / (std * args.temp_sample)
-
         logp0 = logp0 - jnp.max(logp0)
         weights = jax.nn.softmax(logp0)
         Ybar = jnp.einsum("n,nij->ij", weights, all_Y0s)
-
         info = ReverseInfo(
             rews=rews,
             rew_Ybar=rew_Ybar,
@@ -174,6 +242,40 @@ class MBDPI:
             new_noise_scale=noise_scale,
         )
         return Ybar, info
+
+    def reverse_once(
+        self,
+        state: EnvState,
+        rng: jnp.ndarray,
+        Ybar_i: jnp.ndarray,
+        noise_scale: jnp.ndarray,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, ReverseInfo]:
+        """One annealing step (dial-core.h:469-593)."""
+        all_Y0s = self._candidates(rng, Ybar_i, noise_scale, noise)
+        all_us = self.node2u(all_Y0s)  # (Nsample+1, Hsample+1, nu)
+        if self.args.compat_q1:
+            rewss, _ = self.rollout_us_batch_compat_q1(state, all_us)
+        else:
+            rewss = self.rollout_us_batch(state, all_us)  # (Nsample+1, T)
+        return self._score_update(rewss, all_Y0s, noise_scale)
+
+    def reverse_once_compat(
+        self,
+        state: EnvState,
+        rng: jnp.ndarray,
+        Ybar_i: jnp.ndarray,
+        noise_scale: jnp.ndarray,
+        noise: Optional[jnp.ndarray] = None,
+    ):
+        """Q1-compat annealing step, additionally returning the final chained
+        physics carry (qpos, qvel, warmstart) — the C++ executes its next
+        control from exactly that state (shared mjData).  Parity fixture."""
+        all_Y0s = self._candidates(rng, Ybar_i, noise_scale, noise)
+        all_us = self.node2u(all_Y0s)
+        rewss, phys_final = self.rollout_us_batch_compat_q1(state, all_us)
+        Ybar, info = self._score_update(rewss, all_Y0s, noise_scale)
+        return Ybar, info, phys_final
 
     # ------------------------------------------------------------------
     def reverse(
