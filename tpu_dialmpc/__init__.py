@@ -26,9 +26,29 @@ import os as _os
 if not _os.environ.get("TPU_DIALMPC_NO_CACHE"):
     import jax as _jax
 
+    def _host_tag() -> str:
+        # CPU AOT artifacts embed the compile machine's ISA features; loading
+        # them on a host without those features can SIGILL, so the default
+        # cache is partitioned by a fingerprint of the host CPU flags.
+        import hashlib
+        import platform
+
+        feat = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        feat += line
+                        break
+        except OSError:
+            pass
+        return hashlib.sha1(feat.encode()).hexdigest()[:12]
+
     _cache_dir = _os.environ.get(
         "TPU_DIALMPC_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "tpu_dialmpc_xla"),
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", f"tpu_dialmpc_xla_{_host_tag()}"
+        ),
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

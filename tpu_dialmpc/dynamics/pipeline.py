@@ -47,14 +47,15 @@ class PipelineState(NamedTuple):
     efc_force: jnp.ndarray  # (nefc_max,) constraint forces
 
 
-_CPARAMS = {}
-
-
 def _get_cparams(model: PhysicsModel):
-    key = id(model)
-    if key not in _CPARAMS:
-        _CPARAMS[key] = collision.contact_params(model)
-    return _CPARAMS[key]
+    # cached on the instance itself: an id()-keyed global dict is unsound
+    # because ids are reused after garbage collection (a stale entry from a
+    # dead model with different shapes would be returned for a new one)
+    cp = getattr(model, "_cparams_cache", None)
+    if cp is None:
+        cp = collision.contact_params(model)
+        object.__setattr__(model, "_cparams_cache", cp)
+    return cp
 
 
 def _forward(model: PhysicsModel, qpos, qvel, ctrl):
@@ -75,14 +76,11 @@ def _forward(model: PhysicsModel, qpos, qvel, ctrl):
     return kin, vel, m_mat, qacc_smooth, con, qfrc_actuator
 
 
-_VEL_MAPS = {}
-
-
 def _vel_to_qpos_map(model: PhysicsModel) -> np.ndarray:
     """(nq, nv) matrix scattering linear dof velocities into qpos slots
     (zero rows for quaternion components, handled separately)."""
-    key = id(model)
-    if key not in _VEL_MAPS:
+    S = getattr(model, "_vel_map_cache", None)
+    if S is None:
         S = np.zeros((model.nq, model.nv))
         for j in range(model.njnt):
             jt = int(model.jnt_type[j])
@@ -93,8 +91,8 @@ def _vel_to_qpos_map(model: PhysicsModel) -> np.ndarray:
                     S[qadr + i, dadr + i] = 1.0
             else:
                 S[qadr, dadr] = 1.0
-        _VEL_MAPS[key] = S
-    return _VEL_MAPS[key]
+        object.__setattr__(model, "_vel_map_cache", S)
+    return S
 
 
 def _integrate_pos(model: PhysicsModel, qpos, qvel, dt):
