@@ -136,6 +136,46 @@ def test_step_trajectory_parity_h1():
     np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-3)
 
 
+def test_step_trajectory_parity_go2_position():
+    """<position kp kv> actuators (fixed gain + affine bias): 200-step parity."""
+    m = assets.load_mj_model("go2_position")
+    m.opt.timestep = 0.0025
+    model = compile_model(m).with_options(timestep=0.0025)
+    d = mujoco.MjData(m)
+    qpos = m.key_qpos[0].copy()
+    d.qpos[:] = qpos
+    st = pipeline.init(model, jnp.asarray(qpos), jnp.zeros(m.nv))
+    step_j = jax.jit(lambda s, c: pipeline.step(model, s, c, n_substeps=1))
+    home = qpos[7:]
+    for k in range(200):
+        ctrl = home + 0.2 * np.sin(0.01 * k + np.arange(12))
+        d.ctrl[:] = ctrl
+        mujoco.mj_step(m, d)
+        st = step_j(st, jnp.asarray(ctrl))
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-3)
+
+
+def test_qfrc_actuator_position_matches_oracle():
+    m = assets.load_mj_model("go2_position")
+    model = compile_model(m)
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(7)
+    d.qpos[:] = m.key_qpos[0] + rng.normal(scale=0.05, size=m.nq)
+    d.qvel[:] = rng.normal(scale=0.3, size=m.nv)
+    d.ctrl[:] = m.key_qpos[0][7:] + rng.normal(scale=0.5, size=m.nu)
+    mujoco.mj_forward(m, d)
+    from tpu_dialmpc.dynamics import smooth
+
+    mine = smooth.actuator_force(
+        model,
+        jnp.asarray(d.ctrl.copy()),
+        jnp.asarray(d.qpos.copy()),
+        jnp.asarray(d.qvel.copy()),
+    )
+    np.testing.assert_allclose(np.asarray(mine), d.qfrc_actuator, atol=1e-10)
+
+
 def test_substepping():
     """n_substeps=8 equals 8 sequential single steps."""
     m = assets.load_mj_model("go2_force")

@@ -33,7 +33,10 @@ if not _os.environ.get("TPU_DIALMPC_NO_CACHE"):
         import hashlib
         import platform
 
-        feat = platform.machine()
+        # JAX_PLATFORMS is part of the tag: under a remote-TPU tunnel (axon)
+        # CPU executables are AOT-compiled on the *service* host, whose CPU
+        # differs from the local one — the two must not share cache entries.
+        feat = platform.machine() + _os.environ.get("JAX_PLATFORMS", "")
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:

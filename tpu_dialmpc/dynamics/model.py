@@ -130,9 +130,12 @@ class PhysicsModel:
     site_quat: np.ndarray
     site_names: Tuple[str, ...]
     body_names: Tuple[str, ...]
-    # ---- actuators (joint-transmission motors) ----
-    actuator_dofadr: np.ndarray  # (nu,) target dof of each motor
+    # ---- actuators (joint-transmission, fixed gain, none/affine bias) ----
+    actuator_dofadr: np.ndarray  # (nu,) target dof of each actuator
+    actuator_qposadr: np.ndarray  # (nu,) target qpos slot (for affine bias)
     actuator_gear: np.ndarray  # (nu,)
+    actuator_gainprm: np.ndarray  # (nu,) fixed gain (1.0 for <motor>)
+    actuator_biasprm: np.ndarray  # (nu, 3) affine bias b0 + b1*q + b2*qdot
     actuator_ctrlrange: np.ndarray  # (nu, 2) raw (may be 0,0 = unlimited)
     actuator_ctrllimited: np.ndarray  # (nu,) bool
     actuator_forcerange: np.ndarray
@@ -300,12 +303,15 @@ def compile_model(m: mujoco.MjModel) -> PhysicsModel:
         jid = m.actuator_trnid[i, 0]
         if m.jnt_type[jid] not in (JNT_SLIDE, JNT_HINGE):
             raise NotImplementedError("actuators on free joints not supported")
-        if (
-            m.actuator_gaintype[i] != mujoco.mjtGain.mjGAIN_FIXED
-            or m.actuator_biastype[i] != mujoco.mjtBias.mjBIAS_NONE
-            or abs(m.actuator_gainprm[i, 0] - 1.0) > 0
+        if m.actuator_dyntype[i] != mujoco.mjtDyn.mjDYN_NONE:
+            raise NotImplementedError("actuator activation dynamics not supported")
+        if m.actuator_gaintype[i] != mujoco.mjtGain.mjGAIN_FIXED:
+            raise NotImplementedError("only fixed-gain actuators supported")
+        if m.actuator_biastype[i] not in (
+            mujoco.mjtBias.mjBIAS_NONE,
+            mujoco.mjtBias.mjBIAS_AFFINE,
         ):
-            raise NotImplementedError("only direct motors (gain=1, no bias) supported")
+            raise NotImplementedError("only none/affine actuator bias supported")
 
     # collidable geom subset
     collidable = sorted(
@@ -397,6 +403,9 @@ def compile_model(m: mujoco.MjModel) -> PhysicsModel:
     actuator_dofadr = np.array(
         [m.jnt_dofadr[m.actuator_trnid[i, 0]] for i in range(m.nu)], dtype=np.int32
     )
+    actuator_qposadr = np.array(
+        [m.jnt_qposadr[m.actuator_trnid[i, 0]] for i in range(m.nu)], dtype=np.int32
+    )
 
     return PhysicsModel(
         nq=int(m.nq),
@@ -456,7 +465,10 @@ def compile_model(m: mujoco.MjModel) -> PhysicsModel:
         site_names=site_names,
         body_names=body_names,
         actuator_dofadr=actuator_dofadr,
+        actuator_qposadr=actuator_qposadr,
         actuator_gear=m.actuator_gear[:, 0].copy(),
+        actuator_gainprm=m.actuator_gainprm[:, 0].copy(),
+        actuator_biasprm=m.actuator_biasprm[:, :3].copy(),
         actuator_ctrlrange=m.actuator_ctrlrange.copy(),
         actuator_ctrllimited=m.actuator_ctrllimited.copy().astype(bool),
         actuator_forcerange=m.actuator_forcerange.copy(),

@@ -64,7 +64,7 @@ def _forward(model: PhysicsModel, qpos, qvel, ctrl):
     kin = kinematics.kinematics(model, qpos)
     vel = kinematics.com_vel(model, kin, qvel)
     m_mat = smooth.crb_mass_matrix(model, kin)
-    qfrc_actuator = smooth.actuator_force(model, ctrl)
+    qfrc_actuator = smooth.actuator_force(model, ctrl, qpos, qvel)
     qfrc_smooth = (
         smooth.passive_force(model, qvel)
         + qfrc_actuator

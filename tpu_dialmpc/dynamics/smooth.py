@@ -80,10 +80,19 @@ def passive_force(model: PhysicsModel, qvel: jnp.ndarray) -> jnp.ndarray:
     return -jnp.asarray(model.dof_damping, qvel.dtype) * qvel
 
 
-def actuator_force(model: PhysicsModel, ctrl: jnp.ndarray) -> jnp.ndarray:
-    """qfrc_actuator for direct joint motors: gear * ctrl scattered to dofs.
+def actuator_force(
+    model: PhysicsModel,
+    ctrl: jnp.ndarray,
+    qpos: jnp.ndarray | None = None,
+    qvel: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """qfrc_actuator (mj_fwdActuation for fixed-gain, none/affine-bias actuators).
 
-    Control/force clamping follows actuator_ctrllimited / forcelimited flags.
+    Per actuator: force = gain·ctrl + b0 + b1·q + b2·q̇, clamped to forcerange,
+    then scaled by gear and scattered to the target dof.  Covers both <motor>
+    (gain=1, no bias) and <position kp kv> (gain=kp, bias=(0,-kp,-kv)) — the
+    reference's two leg-control modes load different model XMLs for these
+    (models/unitree_go2/mjx_go2_position.xml:16-34 vs mjx_go2_force.xml:244-257).
     """
     dtype = ctrl.dtype
     c = ctrl
@@ -92,11 +101,19 @@ def actuator_force(model: PhysicsModel, ctrl: jnp.ndarray) -> jnp.ndarray:
         hi = jnp.asarray(model.actuator_ctrlrange[:, 1], dtype)
         limited = jnp.asarray(model.actuator_ctrllimited)
         c = jnp.where(limited, jnp.clip(c, lo, hi), c)
-    force = jnp.asarray(model.actuator_gear, dtype) * c
+    force = jnp.asarray(model.actuator_gainprm, dtype) * c
+    bias = jnp.asarray(model.actuator_biasprm, dtype)  # (nu, 3)
+    if bool((model.actuator_biasprm != 0).any()):
+        if qpos is None or qvel is None:
+            raise ValueError("affine-bias actuators need qpos/qvel")
+        q = qpos[model.actuator_qposadr]
+        qd = qvel[model.actuator_dofadr]
+        force = force + bias[:, 0] + bias[:, 1] * q + bias[:, 2] * qd
     if bool(model.actuator_forcelimited.any()):
         lo = jnp.asarray(model.actuator_forcerange[:, 0], dtype)
         hi = jnp.asarray(model.actuator_forcerange[:, 1], dtype)
         limited = jnp.asarray(model.actuator_forcelimited)
         force = jnp.where(limited, jnp.clip(force, lo, hi), force)
+    force = jnp.asarray(model.actuator_gear, dtype) * force
     qfrc = jnp.zeros(model.nv, dtype)
     return qfrc.at[model.actuator_dofadr].add(force)

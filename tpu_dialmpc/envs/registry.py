@@ -66,6 +66,18 @@ _REGISTRY["go2_trot"] = _go2(
 _REGISTRY["go2_walk"] = _go2(
     dict(gait="walk", default_vx=0.5, kp=30.0, kd=0.65, leg_control="torque")
 )
+_REGISTRY["go2_canter"] = _go2(
+    dict(gait="canter", default_vx=1.0, kp=30.0, kd=0.65, leg_control="torque")
+)
+_REGISTRY["go2_gallop"] = _go2(
+    dict(gait="gallop", default_vx=1.2, kp=30.0, kd=0.65, leg_control="torque")
+)
+# Position leg-control over the <position kp=30 kv=0.65> actuator model
+# (models/unitree_go2/mjx_go2_position.xml:16-34): the env writes joint
+# targets into ctrl and the model's servo closes the loop.
+_REGISTRY["go2_trot_position"] = _go2(
+    dict(gait="trot", default_vx=0.8, leg_control="position", scene="go2_position")
+)
 _REGISTRY["go2_crate"] = _go2(
     dict(
         gait="trot",
