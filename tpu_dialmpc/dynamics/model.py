@@ -84,6 +84,7 @@ class PhysicsModel:
     ls_tolerance: float
     impratio: float
     meaninertia: float  # stat.meaninertia — solver termination scale
+    eulerdamp: bool  # mj_Euler implicit joint damping (mjDSBL_EULERDAMP off)
     # ---- bodies (topologically ordered: parent index < child index) ----
     body_parentid: np.ndarray
     body_rootid: np.ndarray
@@ -423,6 +424,7 @@ def compile_model(m: mujoco.MjModel) -> PhysicsModel:
         ls_tolerance=float(m.opt.ls_tolerance),
         impratio=float(m.opt.impratio),
         meaninertia=float(m.stat.meaninertia),
+        eulerdamp=not (m.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_EULERDAMP),
         body_parentid=m.body_parentid.copy(),
         body_rootid=m.body_rootid.copy(),
         body_jntadr=m.body_jntadr.copy(),

@@ -121,11 +121,16 @@ def init(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray) -> PipelineS
     kin, vel, m_mat, qacc_smooth, con, qfrc_actuator = _forward(
         model, qpos, qvel, ctrl
     )
-    res = solver.solve(model, m_mat, qacc_smooth, qacc_smooth, con)
+    # mj_resetData zeroes qacc_warmstart and mj_forward does NOT update it —
+    # only mj_step saves qacc into qacc_warmstart.  With the truncated
+    # (iterations=2) Newton solver the starting point is observable, so the
+    # reset state must carry a ZERO warmstart for the first step, exactly
+    # like the oracle's reset→forward→step sequence.
+    res = solver.solve(model, m_mat, qacc_smooth, jnp.zeros_like(qacc_smooth), con)
     return PipelineState(
         qpos=qpos,
         qvel=qvel,
-        qacc_warmstart=res.qacc,
+        qacc_warmstart=jnp.zeros_like(qacc_smooth),
         xpos=kin.xpos,
         xquat=kin.xquat,
         site_xpos=kin.site_xpos,
@@ -145,12 +150,26 @@ def step(
     """Advance physics by n_substeps * model.timestep under constant ctrl."""
     dt = model.timestep
 
+    # mj_Euler integrates velocity implicitly w.r.t. joint damping when any
+    # dof_damping is nonzero (and mjDSBL_EULERDAMP is off): it re-solves
+    #   (M + h·diag(B)) qacc_int = qfrc_smooth + qfrc_constraint
+    # while d.qacc (→ warmstart) keeps the constraint-solver acceleration.
+    # qfrc_smooth is recovered exactly as M @ qacc_smooth.
+    implicit_damp = bool(model.eulerdamp) and bool((model.dof_damping != 0).any())
+
     def substep(s: PipelineState, _):
         kin, vel, m_mat, qacc_smooth, con, qfrc_actuator = _forward(
             model, s.qpos, s.qvel, ctrl
         )
         res = solver.solve(model, m_mat, qacc_smooth, s.qacc_warmstart, con)
-        qvel_new = s.qvel + dt * res.qacc
+        if implicit_damp:
+            damp = jnp.asarray(model.dof_damping, s.qvel.dtype)
+            mhb = m_mat + dt * jnp.diag(damp)
+            qfrc = m_mat @ qacc_smooth + res.qfrc_constraint
+            qacc_int = linalg.solve_psd(mhb, qfrc)
+        else:
+            qacc_int = res.qacc
+        qvel_new = s.qvel + dt * qacc_int
         qpos_new = _integrate_pos(model, s.qpos, qvel_new, dt)
         return (
             PipelineState(
