@@ -73,10 +73,53 @@ def cmd_run(args):
             args.out,
             rewards=rewards,
             qpos=np.asarray(res.qpos),
+            qvel=np.asarray(res.qvel),
             us=np.asarray(res.us),
             dones=np.asarray(res.dones),
         )
         print(f"trajectory saved to {args.out}")
+    return 0
+
+
+def cmd_plot(args):
+    """Render the reference plotting fork's 6 state charts from a trajectory.
+
+    Matplotlib counterpart of the gnuplot telemetry in
+    dial_mpc_eigen_plotting/src/dial-core-simulate.cpp:219-329: base position,
+    base orientation (quat), joint positions, base velocity, base angular
+    velocity, joint velocities — plus the per-step reward the reference
+    printed to stdout.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = np.load(args.trajectory)
+    qpos, qvel = data["qpos"], data["qvel"]
+    fig, axes = plt.subplots(2, 4, figsize=(22, 9))
+    panels = [
+        ("Graph 1: Base Position (x,y,z)", qpos[:, 0:3], ("x", "y", "z")),
+        ("Graph 5: Base Orientation", qpos[:, 3:7], ("qw", "qx", "qy", "qz")),
+        ("Graph 2: Joints Position", qpos[:, 7:], None),
+        ("Graph 3: Base Velocity", qvel[:, 0:3], ("vx", "vy", "vz")),
+        ("Graph 6: Base Angular Velocity", qvel[:, 3:6], ("wx", "wy", "wz")),
+        ("Graph 4: Joints Velocity", qvel[:, 6:], None),
+        ("Reward", data["rewards"][:, None], ("reward",)),
+        ("Executed controls", data["us"], None),
+    ]
+    for ax, (title, series, labels) in zip(axes.ravel(), panels):
+        for i in range(series.shape[1]):
+            lbl = labels[i] if labels else f"{i}"
+            ax.plot(series[:, i], label=lbl, linewidth=0.9)
+        ax.set_title(title)
+        ax.set_xlabel("control step")
+        if series.shape[1] <= 4:
+            ax.legend(fontsize=7)
+    fig.tight_layout()
+    out = args.out or "trajectory_plots.png"
+    fig.savefig(out, dpi=120)
+    print(f"plots saved to {out}")
     return 0
 
 
@@ -118,7 +161,12 @@ def cmd_replay(args):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpu_dialmpc")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name, fn in [("run", cmd_run), ("bench", cmd_bench), ("replay", cmd_replay)]:
+    for name, fn in [
+        ("run", cmd_run),
+        ("bench", cmd_bench),
+        ("replay", cmd_replay),
+        ("plot", cmd_plot),
+    ]:
         sp = sub.add_parser(name)
         sp.add_argument("--task", default="go2_stand")
         sp.add_argument("--config", default=None)

@@ -30,6 +30,7 @@ from tpu_dialmpc.dynamics import assets, compile_model, pipeline
 from tpu_dialmpc.dynamics.model import PhysicsModel
 from tpu_dialmpc.envs import gait
 from tpu_dialmpc.envs.base import EnvState, StateInfo
+from tpu_dialmpc.envs.fused_rollout import FusedRolloutMixin
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,9 +53,10 @@ class UnitreeGo2EnvConfig:
     scene: str = "go2_force"
     energy_weight: float = 0.0  # dead-code env's energy term (weight 0 there too)
     dtype: str = "float32"
+    fused: str = "auto"  # fused Pallas rollout kernel: "auto" | "on" | "off"
 
 
-class UnitreeGo2Env:
+class UnitreeGo2Env(FusedRolloutMixin):
     """Pure-functional Go2 env; all methods are jit/vmap-safe."""
 
     FEET_SITES = ("FL_foot", "FR_foot", "RL_foot", "RR_foot")
@@ -153,8 +155,9 @@ class UnitreeGo2Env:
     def act2tau(self, act: jnp.ndarray, ps: pipeline.PipelineState) -> jnp.ndarray:
         """PD torque map (unitree-go2-env.h:701-735)."""
         nu = self.model.nu
-        q = ps.qpos[7 : 7 + nu]
-        qd = ps.qvel[6 : 6 + nu]
+        return self._act2tau_qv(act, ps.qpos[7 : 7 + nu], ps.qvel[6 : 6 + nu])
+
+    def _act2tau_qv(self, act, q, qd):
         target = self.act2joint(act)
         tau = self.config.kp * (target - q) - self.config.kd * qd
         tr = jnp.asarray(self.joint_torque_range, act.dtype)
@@ -179,14 +182,21 @@ class UnitreeGo2Env:
         t = step.astype(self._dtype) * self.dt
         return gait.get_foot_step(duty, cadence, amplitude, phases, t)
 
+    def _ctrl_batch(self, action, qpos, qvel):
+        """Batched action -> ctrl map (vmapped act2joint / PD torque)."""
+        if self.config.leg_control == "position":
+            return jax.vmap(self.act2joint)(action)
+        nu = self.model.nu
+        return jax.vmap(
+            lambda a, q, qd: self._act2tau_qv(a, q[7 : 7 + nu], qd[6 : 6 + nu])
+        )(action, qpos, qvel)
+
     # ------------------------------------------------------------------
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         """unitree-go2-env.h:418-600."""
         cfg = self.config
         dtype = self._dtype
         action = jnp.asarray(action, dtype)
-        info = state.info
-        rng, cmd_rng = jax.random.split(info.rng)
 
         if cfg.leg_control == "position":
             ctrl = self.act2joint(action)
@@ -194,6 +204,49 @@ class UnitreeGo2Env:
             ctrl = self.act2tau(action, state.pipeline)
 
         ps = pipeline.step(self.model, state.pipeline, ctrl, cfg.n_substeps)
+
+        b = self._torso_idx
+        reward, done, new_info = self._post_physics(
+            qpos=ps.qpos,
+            qvel=ps.qvel,
+            site_xpos=ps.site_xpos,
+            torso_xpos=ps.xpos[b],
+            torso_xquat=ps.xquat[b],
+            torso_cvel=ps.cvel[b],
+            root_com=ps.subtree_com[int(self.model.body_rootid[b])],
+            qfrc_actuator=ps.qfrc_actuator,
+            info=state.info,
+            ctrl=ctrl,
+        )
+        obs = self._get_obs(ps, new_info, ctrl)
+        return EnvState(
+            pipeline=ps,
+            obs=obs,
+            reward=jnp.asarray(reward, dtype),
+            done=done,
+            info=new_info,
+        )
+
+    # ------------------------------------------------------------------
+    def _post_physics(
+        self,
+        qpos,
+        qvel,
+        site_xpos,
+        torso_xpos,
+        torso_xquat,
+        torso_cvel,
+        root_com,
+        qfrc_actuator,
+        info: StateInfo,
+        ctrl,
+    ):
+        """Command schedule + rewards + termination + info update
+        (unitree-go2-env.h:439-600) on named post-step quantities — shared by
+        `step` (from PipelineState fields) and the fused batched rollouts."""
+        cfg = self.config
+        dtype = self._dtype
+        rng, cmd_rng = jax.random.split(info.rng)
 
         # command schedule (unitree-go2-env.h:439-457)
         if cfg.randomize_tasks:
@@ -218,33 +271,34 @@ class UnitreeGo2Env:
             )
 
         # ---- rewards (unitree-go2-env.h:459-558) ----
-        z_feet = ps.site_xpos[self._feet_site_id, 2]
+        z_feet = site_xpos[self._feet_site_id, 2]
         z_feet_tar = self._foot_step_target(info.step)
         reward_gaits = -jnp.sum(((z_feet_tar - z_feet) / 0.05) ** 2)
 
-        torso_quat = ps.xquat[self._torso_idx]
         up_global = jnp.array([0.0, 0.0, 1.0], dtype)
-        up_body = rot.rotate(up_global, torso_quat)
+        up_body = rot.rotate(up_global, torso_xquat)
         reward_upright = -jnp.sum((up_body - up_global) ** 2)
 
         yaw_tar = info.yaw_tar + ang_vel_tar[2] * self.dt * info.step.astype(dtype)
-        yaw = rot.quat_to_yaw(torso_quat)
+        yaw = rot.quat_to_yaw(torso_xquat)
         d_yaw = yaw - yaw_tar
         wrapped = jnp.arctan2(jnp.sin(d_yaw), jnp.cos(d_yaw))
         reward_yaw = -(wrapped**2)
 
-        vb, ab = self._body_velocities(ps)
+        vb, ab = self._body_velocities(
+            torso_xpos, torso_xquat, torso_cvel, root_com
+        )
         reward_vel = -jnp.sum((vb[:2] - vel_tar[:2]) ** 2)
         reward_ang_vel = -((ab[2] - ang_vel_tar[2]) ** 2)
 
-        z_torso = ps.xpos[self._torso_idx, 2]
+        z_torso = torso_xpos[2]
         reward_height = -((z_torso - info.pos_tar[2]) ** 2)
 
         # energy term from the dead-code env (UnitreeGo2Env.h:699-713)
         reward_energy = jnp.asarray(0.0, dtype)
         if cfg.energy_weight != 0.0:
-            tau = ps.qfrc_actuator[6:]
-            qd = ps.qvel[6:]
+            tau = qfrc_actuator[6:]
+            qd = qvel[6:]
             reward_energy = -jnp.sum(
                 jnp.maximum(tau * qd / 160.0, 0.0) ** 2
             )
@@ -261,7 +315,7 @@ class UnitreeGo2Env:
 
         # ---- termination (unitree-go2-env.h:561-589) ----
         jr = jnp.asarray(self.joint_range, dtype)
-        joint_angles = ps.qpos[7 : 7 + self.model.nu]
+        joint_angles = qpos[7 : 7 + self.model.nu]
         out_of_range = jnp.any(
             (joint_angles < jr[:, 0]) | (joint_angles > jr[:, 1])
         )
@@ -292,31 +346,28 @@ class UnitreeGo2Env:
             last_contact=contact,
             feet_air_time=feet_air_time,
         )
-        obs = self._get_obs(ps, new_info, ctrl)
-        return EnvState(
-            pipeline=ps,
-            obs=obs,
-            reward=jnp.asarray(reward, dtype),
-            done=done,
-            info=new_info,
-        )
+        return reward, done, new_info
 
     # ------------------------------------------------------------------
-    def _body_velocities(self, ps: pipeline.PipelineState):
+    def _body_velocities(self, torso_xpos, torso_xquat, torso_cvel, root_com):
         """Torso body-frame linear/angular velocity (unitree-go2-env.h:527-552)."""
-        b = self._torso_idx
-        offset = ps.xpos[b] - ps.subtree_com[int(self.model.body_rootid[b])]
-        cvel_ang = ps.cvel[b, :3]
-        cvel_lin = ps.cvel[b, 3:]
+        offset = torso_xpos - root_com
+        cvel_ang = torso_cvel[:3]
+        cvel_lin = torso_cvel[3:]
         vel_lin = cvel_lin - jnp.cross(offset, cvel_ang)
-        torso_quat = ps.xquat[b]
-        vb = rot.global_to_body_velocity(vel_lin, torso_quat)
-        ab = rot.global_to_body_velocity(cvel_ang, torso_quat)
+        vb = rot.global_to_body_velocity(vel_lin, torso_xquat)
+        ab = rot.global_to_body_velocity(cvel_ang, torso_xquat)
         return vb, ab
 
     def _get_obs(self, ps, info, ctrl):
         """55-dim observation (dead-code env UnitreeGo2Env.h:576-639, fixed)."""
-        vb, ab = self._body_velocities(ps)
+        b = self._torso_idx
+        vb, ab = self._body_velocities(
+            ps.xpos[b],
+            ps.xquat[b],
+            ps.cvel[b],
+            ps.subtree_com[int(self.model.body_rootid[b])],
+        )
         return jnp.concatenate(
             [info.vel_tar, info.ang_vel_tar, ctrl, ps.qpos, vb, ab, ps.qvel[6:]]
         )

@@ -19,6 +19,7 @@ from tpu_dialmpc.core import rotations as rot
 from tpu_dialmpc.dynamics import assets, compile_model, pipeline
 from tpu_dialmpc.envs import gait
 from tpu_dialmpc.envs.base import EnvState, StateInfo
+from tpu_dialmpc.envs.fused_rollout import FusedRolloutMixin
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,9 +39,10 @@ class UnitreeH1EnvConfig:
     scene: str = "h1_walk"
     pos_tar_z: float = 0.98  # pelvis height target (home keyframe height)
     dtype: str = "float32"
+    fused: str = "auto"  # fused Pallas rollout kernel: "auto" | "on" | "off"
 
 
-class UnitreeH1Env:
+class UnitreeH1Env(FusedRolloutMixin):
     FEET_SITES = ("left_foot", "right_foot")
     TORSO_BODY = "pelvis"
 
@@ -133,18 +135,71 @@ class UnitreeH1Env:
         dtype = self._dtype
         return jnp.array([lx, ly, 0.0], dtype), jnp.array([0.0, 0.0, yw], dtype)
 
+    def _act2tau_qv(self, act, q, qd):
+        target = self.act2joint(act)
+        tau = self.config.kp * (target - q) - self.config.kd * qd
+        tr = jnp.asarray(self.joint_torque_range, act.dtype)
+        return jnp.clip(tau, tr[:, 0], tr[:, 1])
+
+    def _ctrl_batch(self, action, qpos, qvel):
+        if self.config.leg_control == "position":
+            return jax.vmap(self.act2joint)(action)
+        return jax.vmap(
+            lambda a, q, qd: self._act2tau_qv(
+                a, q[self._act_qadr], qd[self._act_dadr]
+            )
+        )(action, qpos, qvel)
+
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         cfg = self.config
         dtype = self._dtype
         action = jnp.asarray(action, dtype)
-        info = state.info
-        rng, cmd_rng = jax.random.split(info.rng)
 
         if cfg.leg_control == "position":
             ctrl = self.act2joint(action)
         else:
             ctrl = self.act2tau(action, state.pipeline)
         ps = pipeline.step(self.model, state.pipeline, ctrl, cfg.n_substeps)
+
+        b = self._torso_idx
+        reward, done, new_info = self._post_physics(
+            qpos=ps.qpos,
+            qvel=ps.qvel,
+            site_xpos=ps.site_xpos,
+            torso_xpos=ps.xpos[b],
+            torso_xquat=ps.xquat[b],
+            torso_cvel=ps.cvel[b],
+            root_com=ps.subtree_com[int(self.model.body_rootid[b])],
+            qfrc_actuator=ps.qfrc_actuator,
+            info=state.info,
+            ctrl=ctrl,
+        )
+        obs = self._get_obs(ps, new_info, ctrl)
+        return EnvState(
+            pipeline=ps,
+            obs=obs,
+            reward=jnp.asarray(reward, dtype),
+            done=done,
+            info=new_info,
+        )
+
+    def _post_physics(
+        self,
+        qpos,
+        qvel,
+        site_xpos,
+        torso_xpos,
+        torso_xquat,
+        torso_cvel,
+        root_com,
+        qfrc_actuator,
+        info: StateInfo,
+        ctrl,
+    ):
+        """Biped reward/termination/info stack (Go2 structure adapted)."""
+        cfg = self.config
+        dtype = self._dtype
+        rng, cmd_rng = jax.random.split(info.rng)
 
         if cfg.randomize_tasks:
             do_rand = (info.step % 500) == 0
@@ -164,29 +219,30 @@ class UnitreeH1Env:
                 jnp.minimum(cfg.default_vyaw * frac, cfg.default_vyaw)
             )
 
-        z_feet = ps.site_xpos[self._feet_site_id, 2]
+        z_feet = site_xpos[self._feet_site_id, 2]
         duty, cadence, amplitude = self._gait_params
         phases = jnp.asarray(self._gait_phases, dtype)
         t_now = info.step.astype(dtype) * self.dt
         z_feet_tar = gait.get_foot_step(duty, cadence, amplitude, phases, t_now)
         reward_gaits = -jnp.sum(((z_feet_tar - z_feet) / 0.05) ** 2)
 
-        torso_quat = ps.xquat[self._torso_idx]
         up_global = jnp.array([0.0, 0.0, 1.0], dtype)
-        up_body = rot.rotate(up_global, torso_quat)
+        up_body = rot.rotate(up_global, torso_xquat)
         reward_upright = -jnp.sum((up_body - up_global) ** 2)
 
         yaw_tar = info.yaw_tar + ang_vel_tar[2] * self.dt * info.step.astype(dtype)
-        yaw = rot.quat_to_yaw(torso_quat)
+        yaw = rot.quat_to_yaw(torso_xquat)
         d_yaw = yaw - yaw_tar
         wrapped = jnp.arctan2(jnp.sin(d_yaw), jnp.cos(d_yaw))
         reward_yaw = -(wrapped**2)
 
-        vb, ab = self._body_velocities(ps)
+        vb, ab = self._body_velocities(
+            torso_xpos, torso_xquat, torso_cvel, root_com
+        )
         reward_vel = -jnp.sum((vb[:2] - vel_tar[:2]) ** 2)
         reward_ang_vel = -((ab[2] - ang_vel_tar[2]) ** 2)
 
-        z_torso = ps.xpos[self._torso_idx, 2]
+        z_torso = torso_xpos[2]
         reward_height = -((z_torso - info.pos_tar[2]) ** 2)
 
         reward = (
@@ -199,7 +255,7 @@ class UnitreeH1Env:
         )
 
         jr = jnp.asarray(self.joint_range, dtype)
-        joint_angles = ps.qpos[self._act_qadr]
+        joint_angles = qpos[self._act_qadr]
         out_of_range = jnp.any(
             (joint_angles < jr[:, 0]) | (joint_angles > jr[:, 1])
         )
@@ -226,28 +282,25 @@ class UnitreeH1Env:
             last_contact=contact,
             feet_air_time=feet_air_time,
         )
-        obs = self._get_obs(ps, new_info, ctrl)
-        return EnvState(
-            pipeline=ps,
-            obs=obs,
-            reward=jnp.asarray(reward, dtype),
-            done=done,
-            info=new_info,
-        )
+        return reward, done, new_info
 
-    def _body_velocities(self, ps):
-        b = self._torso_idx
-        offset = ps.xpos[b] - ps.subtree_com[int(self.model.body_rootid[b])]
-        cvel_ang = ps.cvel[b, :3]
-        cvel_lin = ps.cvel[b, 3:] - jnp.cross(offset, cvel_ang)
-        torso_quat = ps.xquat[b]
+    def _body_velocities(self, torso_xpos, torso_xquat, torso_cvel, root_com):
+        offset = torso_xpos - root_com
+        cvel_ang = torso_cvel[:3]
+        cvel_lin = torso_cvel[3:] - jnp.cross(offset, cvel_ang)
         return (
-            rot.global_to_body_velocity(cvel_lin, torso_quat),
-            rot.global_to_body_velocity(cvel_ang, torso_quat),
+            rot.global_to_body_velocity(cvel_lin, torso_xquat),
+            rot.global_to_body_velocity(cvel_ang, torso_xquat),
         )
 
     def _get_obs(self, ps, info, ctrl):
-        vb, ab = self._body_velocities(ps)
+        b = self._torso_idx
+        vb, ab = self._body_velocities(
+            ps.xpos[b],
+            ps.xquat[b],
+            ps.cvel[b],
+            ps.subtree_com[int(self.model.body_rootid[b])],
+        )
         return jnp.concatenate(
             [info.vel_tar, info.ang_vel_tar, ctrl, ps.qpos, vb, ab, ps.qvel[6:]]
         )

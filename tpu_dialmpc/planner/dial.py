@@ -159,9 +159,15 @@ class MBDPI:
     def rollout_us_batch(self, state: EnvState, all_us: jnp.ndarray):
         """vmap over candidates; every rollout starts from `state` (fixes Q1).
 
+        On TPU, envs with fused-kernel support take the single-Pallas-call
+        physics path (envs/fused_rollout.py) — same math, ~100x faster.
         The initial carry is broadcast to the batch explicitly — vmapping a
         closed-over (unbatched) state measured ~13x slower on TPU.
         """
+        if hasattr(self.env, "rollout_batch"):
+            rews = self.env.rollout_batch(state, all_us)
+            if rews is not None:
+                return rews
         B = all_us.shape[0]
         carry0 = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), self._lean(state)

@@ -25,6 +25,7 @@ class RunResult(NamedTuple):
     rewards: jnp.ndarray  # (n_steps,)
     dones: jnp.ndarray  # (n_steps,)
     qpos: jnp.ndarray  # (n_steps, nq) executed trajectory
+    qvel: jnp.ndarray  # (n_steps, nv)
     us: jnp.ndarray  # (n_steps, nu) executed controls
     final_state: EnvState
     final_Y0: jnp.ndarray
@@ -62,7 +63,7 @@ def run(
     step_rest = make_control_step(mbdpi, cfg.Ndiffuse)
 
     n = cfg.n_steps if n_steps is None else n_steps
-    rewards, dones, qpos_traj, us_traj = [], [], [], []
+    rewards, dones, qpos_traj, qvel_traj, us_traj = [], [], [], [], []
     for t in range(n):
         key, k = jax.random.split(key)
         fn = step_init if t == 0 else step_rest
@@ -71,6 +72,7 @@ def run(
         rewards.append(state.reward)
         dones.append(state.done)
         qpos_traj.append(state.pipeline.qpos)
+        qvel_traj.append(state.pipeline.qvel)
         us_traj.append(action)
         if telemetry is not None:
             telemetry.emit_step(t, state, infos)
@@ -78,6 +80,7 @@ def run(
         rewards=jnp.stack(rewards),
         dones=jnp.stack(dones),
         qpos=jnp.stack(qpos_traj),
+        qvel=jnp.stack(qvel_traj),
         us=jnp.stack(us_traj),
         final_state=state,
         final_Y0=Y0,
@@ -104,7 +107,10 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
             state2 = env.step(state, action)
             Y1 = mbdpi.shift(Y0)
             Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse_init)
-            return (state2, Y2, key), (state2.reward, state2.done, state2.pipeline.qpos, action)
+            return (state2, Y2, key), (
+                state2.reward, state2.done, state2.pipeline.qpos,
+                state2.pipeline.qvel, action,
+            )
 
         def body(carry, _):
             state, Y0, key = carry
@@ -113,7 +119,10 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
             state2 = env.step(state, action)
             Y1 = mbdpi.shift(Y0)
             Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse)
-            return (state2, Y2, key), (state2.reward, state2.done, state2.pipeline.qpos, action)
+            return (state2, Y2, key), (
+                state2.reward, state2.done, state2.pipeline.qpos,
+                state2.pipeline.qvel, action,
+            )
 
         carry, out0 = first_step((state, Y0, key))
         carry, outs = jax.lax.scan(body, carry, None, length=n - 1)
@@ -123,11 +132,12 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
         )
         return state, Y0, stacked
 
-    state, Y0, (rewards, dones, qpos, us) = full_run(state, Y0, key)
+    state, Y0, (rewards, dones, qpos, qvel, us) = full_run(state, Y0, key)
     return RunResult(
         rewards=rewards,
         dones=dones,
         qpos=qpos,
+        qvel=qvel,
         us=us,
         final_state=state,
         final_Y0=Y0,

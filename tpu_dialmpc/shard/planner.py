@@ -43,6 +43,34 @@ class ShardedMBDPI(MBDPI):
     def _shard(self, x):
         return jax.lax.with_sharding_constraint(x, self._sample_sharding)
 
+    def rollout_us_batch(self, state: EnvState, all_us: jnp.ndarray):
+        """Sharded rollouts.
+
+        The fused Pallas kernel (envs/fused_rollout.py) is a per-device
+        program, so under a >1-device mesh it runs inside `shard_map` over the
+        sample axis — each device rolls its local candidate block through one
+        kernel; the scoring collectives stay GSPMD outside.  The XLA-pipeline
+        fallback shards transparently via the sharding constraints.
+        """
+        n_dev = self.mesh.devices.size
+        if n_dev > 1 and getattr(self.env, "rollout_batch", None) is not None:
+            if all_us.shape[0] % n_dev == 0:
+                probe = self.env._get_fused_step(all_us.shape[0] // n_dev)[0]
+                if probe is not None:
+                    spec = PartitionSpec(("dcn", "sample"))
+
+                    def local(state_rep, us_local):
+                        return self.env.rollout_batch(state_rep, us_local)
+
+                    return jax.shard_map(
+                        local,
+                        mesh=self.mesh,
+                        in_specs=(PartitionSpec(), spec),
+                        out_specs=spec,
+                        check_vma=False,
+                    )(state, all_us)
+        return super().rollout_us_batch(state, all_us)
+
     def reverse_once(
         self,
         state: EnvState,
