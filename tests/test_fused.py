@@ -60,7 +60,15 @@ def _ref_substep(model, qpos, qvel, ws, ctrl):
     return pipeline.step(model, st, jnp.asarray(ctrl, jnp.float32), 1)
 
 
-@pytest.mark.parametrize("scene,torso", [("go2_force", "base"), ("h1_walk", "pelvis")])
+@pytest.mark.parametrize(
+    "scene,torso",
+    [
+        ("go2_force", "base"),
+        ("h1_walk", "pelvis"),
+        ("go2_force_crate", "base"),
+        ("h1_push_crate", "pelvis"),
+    ],
+)
 def test_fused_substep_matches_pipeline(scene, torso):
     model = _model(scene)
     if not fused.supported(model):
@@ -93,9 +101,9 @@ def test_fused_substep_matches_pipeline(scene, torso):
 
 
 def test_fused_supported_flags():
-    assert fused.supported(_model("go2_force"))
-    # crate scenes have box contacts -> XLA fallback path
-    assert not fused.supported(_model("go2_force_crate"))
+    for scene in ("go2_force", "go2_position", "h1_walk", "h1_loco",
+                  "go2_force_crate", "h1_push_crate"):
+        assert fused.supported(_model(scene)), scene
 
 
 def test_fused_disabled_on_cpu():
@@ -124,7 +132,7 @@ def test_fused_tree_ldl_solves():
         Md[i, j] = val
         Md[j, i] = val
     y = rng.normal(size=nv)
-    L, Dinv = fused.ldl_factor(M, meta, nv)
-    x = fused.ldl_solve(L, Dinv, meta, [float(v) for v in y])
+    L, Dinv = fused.ldl_factor(M, meta.anc_strict, nv)
+    x = fused.ldl_solve(L, Dinv, meta.anc_strict, [float(v) for v in y])
     x = np.array([float(jnp.asarray(v).reshape(())) for v in x])
     np.testing.assert_allclose(x, np.linalg.solve(Md, y), rtol=2e-4, atol=1e-5)

@@ -158,6 +158,117 @@ def cmd_replay(args):
     return 0
 
 
+def cmd_env_test(args):
+    """Env smoke test: reset + zero-action steps, print state/termination.
+
+    Headless counterpart of the reference's go2_env_test interactive viewer
+    loop (dial_mpc_eigen/src/unitree-go2-env-test.cpp:91-204)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_dialmpc.envs import get_env
+
+    env, _, task = _build(args)
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    zero = jnp.zeros(env.action_size)
+    n = args.n_steps or 100
+    for t in range(n):
+        state = step(state, zero)
+        if t % max(1, n // 10) == 0:
+            z = float(state.pipeline.qpos[2])
+            print(
+                f"step {t}: z={z:.4f} reward={float(state.reward):+.4f} "
+                f"done={bool(state.done)}"
+            )
+        if bool(state.done):
+            print(f"terminated at step {t}")
+            break
+    print(f"final qpos[:7]: {np.asarray(state.pipeline.qpos[:7]).round(4)}")
+    return 0
+
+
+def cmd_ik(args):
+    """IK / keyframe probe (dial_mpc/src/legged_robot_ik.cpp).
+
+    --mode ik: Jacobian IK holding the feet while shifting the base;
+    --mode settle: shift base, PD-hold home pose, step physics to settle."""
+    from tpu_dialmpc.envs import get_env
+    from tpu_dialmpc.tools import ik as ik_mod
+
+    env, _, task = _build(args)
+    offset = [args.dx, args.dy, args.dz]
+    if args.mode == "ik":
+        q, res = ik_mod.solve_feet_ik(env, offset)
+        print(f"feet-position residual: {float(res):.2e} m")
+    else:
+        q = ik_mod.settle_probe(env, offset)
+    q = np.asarray(q)
+    print(f"base: {q[:3].round(4)} quat: {q[3:7].round(4)}")
+    print(f"joint angles: {q[7:].round(4)}")
+    return 0
+
+
+def cmd_profile(args):
+    """Per-phase timings + fused-kernel roofline (telemetry/profile.py)."""
+    from tpu_dialmpc.telemetry import profile as prof
+
+    print("phase timings (amortized, ms):")
+    for k, v in prof.phase_timings(
+        task=args.task,
+        nsample=args.nsample or 2048,
+        hsample=args.hsample or 20,
+        n_substeps=args.substeps or 8,
+    ).items():
+        print(f"  {k}: {v:.3f}")
+    try:
+        roof = prof.fused_kernel_roofline(
+            task=args.task,
+            nsample=args.nsample or 2048,
+            n_substeps=args.substeps or 8,
+            hsample=args.hsample or 20,
+        )
+        print("fused kernel roofline:")
+        for k, v in roof.items():
+            print(f"  {k}: {v}")
+    except RuntimeError as e:
+        print(f"roofline skipped: {e}")
+    if args.out:
+        from tpu_dialmpc.telemetry.profile import capture_trace
+        import jax
+        import jax.numpy as jnp
+
+        from tpu_dialmpc.planner.dial import DialConfig, MBDPI
+
+        env, dial_cfg, _ = _build(args)
+        mbdpi = MBDPI(dial_cfg, env)
+        state = env.reset(jax.random.PRNGKey(0))
+        Y0 = jnp.zeros((dial_cfg.Hnode + 1, env.action_size))
+        scale = jnp.asarray(mbdpi.sigma_control, Y0.dtype)
+        fn = jax.jit(mbdpi.reverse_once)
+        fn(state, jax.random.PRNGKey(1), Y0, scale)  # compile first
+        capture_trace(
+            args.out, fn, state, jax.random.PRNGKey(2), Y0, scale
+        )
+        print(f"profiler trace written to {args.out}")
+    return 0
+
+
+def cmd_scaling(args):
+    """Strong-scaling report over device-mesh sizes (shard/scaling.py)."""
+    from tpu_dialmpc.shard.scaling import scaling_report
+
+    rows = scaling_report(
+        task=args.task,
+        nsample=args.nsample or 2048,
+        hsample=args.hsample or 20,
+        n_substeps=args.substeps or 8,
+    )
+    for r in rows:
+        print(json.dumps(r))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpu_dialmpc")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -166,6 +277,10 @@ def main(argv=None):
         ("bench", cmd_bench),
         ("replay", cmd_replay),
         ("plot", cmd_plot),
+        ("env-test", cmd_env_test),
+        ("ik", cmd_ik),
+        ("profile", cmd_profile),
+        ("scaling", cmd_scaling),
     ]:
         sp = sub.add_parser(name)
         sp.add_argument("--task", default="go2_stand")
@@ -178,6 +293,10 @@ def main(argv=None):
         sp.add_argument("--out", default=None, help="trajectory .npz output")
         sp.add_argument("--iters", type=int, default=20)
         sp.add_argument("--trajectory", default=None)
+        sp.add_argument("--mode", default="ik", choices=("ik", "settle"))
+        sp.add_argument("--dx", type=float, default=0.0)
+        sp.add_argument("--dy", type=float, default=0.0)
+        sp.add_argument("--dz", type=float, default=0.0)
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     return args.fn(args)

@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_dialmpc.dynamics.collision import contact_params
 from tpu_dialmpc.dynamics.constraint import MJ_MAXIMP, MJ_MINIMP, MJ_MINVAL
 from tpu_dialmpc.dynamics.model import (
+    GEOM_BOX,
     GEOM_CAPSULE,
     GEOM_PLANE,
     GEOM_SPHERE,
@@ -327,6 +328,10 @@ def force_cross(v, f):
 class _Meta(NamedTuple):
     anc_strict: Tuple[Tuple[int, ...], ...]  # per dof: strict ancestors (j<i)
     m_keys: Tuple[Tuple[int, int], ...]  # (i, j) i>=j tree-sparse M pattern
+    # Newton-Hessian pattern: tree pattern + cliques over each contact row's
+    # dof support (contacts may couple separate kinematic trees, e.g. robot
+    # feet vs the crate's slide joint) + symbolic LDL fill-in
+    anc_solver: Tuple[Tuple[int, ...], ...]
     contact_slots: tuple  # static per-slot contact descriptors
     limit_rows: tuple
     floss_rows: tuple
@@ -341,10 +346,20 @@ def _ancestors(model: PhysicsModel):
     return tuple(anc)
 
 
+_FUSED_KINDS = (
+    (GEOM_PLANE, GEOM_SPHERE),
+    (GEOM_PLANE, GEOM_CAPSULE),
+    (GEOM_PLANE, GEOM_BOX),
+    (GEOM_SPHERE, GEOM_BOX),
+    (GEOM_CAPSULE, GEOM_BOX),
+    (GEOM_BOX, GEOM_BOX),
+)
+
+
 def supported(model: PhysicsModel) -> bool:
     """Whether this compiled model can run on the fused kernel."""
     for kind in model.pairs:
-        if kind not in ((GEOM_PLANE, GEOM_SPHERE), (GEOM_PLANE, GEOM_CAPSULE)):
+        if kind not in _FUSED_KINDS:
             return False
     cp = contact_params(model)
     if cp.condim.size and not np.all(np.isin(cp.condim, (1, 3))):
@@ -434,9 +449,26 @@ def _meta(model: PhysicsModel) -> _Meta:
             )
         )
 
+    # solver pattern: tree + contact-row cliques, closed under LDL fill-in
+    pat = {(i, j) for (i, j) in m_keys if i != j}
+    for slot in slots:
+        dofs = slot["dofs"]
+        for a in range(len(dofs)):
+            for b in range(a):
+                pat.add((dofs[a], dofs[b]))
+    for k in range(model.nv - 1, -1, -1):
+        nbrs = sorted(j for j in range(k) if (k, j) in pat)
+        for a in range(len(nbrs)):
+            for b in range(a):
+                pat.add((nbrs[a], nbrs[b]))
+    anc_solver = tuple(
+        tuple(j for j in range(i) if (i, j) in pat) for i in range(model.nv)
+    )
+
     return _Meta(
         anc_strict=anc,
         m_keys=tuple(m_keys),
+        anc_solver=anc_solver,
         contact_slots=tuple(slots),
         limit_rows=tuple(limits),
         floss_rows=tuple(floss),
@@ -709,32 +741,33 @@ def _actuator_force(model: PhysicsModel, ctrl, q, v):
 # leaf dofs first; ancestors have smaller indices, so there is no fill-in).
 # ======================================================================
 
-def ldl_factor(M: Dict[Tuple[int, int], object], meta: _Meta, nv: int):
+def ldl_factor(M: Dict[Tuple[int, int], object], anc, nv: int):
+    """anc[i] = sorted strict 'ancestors' (pattern neighbors j < i)."""
     Mw = dict(M)
     L: Dict[Tuple[int, int], object] = {}
     Dinv = [None] * nv
     for k in range(nv - 1, -1, -1):
         dinv = srecip(Mw[(k, k)])
         Dinv[k] = dinv
-        anc = meta.anc_strict[k]
-        for j in anc:
+        a_k = anc[k]
+        for j in a_k:
             L[(k, j)] = smul(Mw[(k, j)], dinv)
-        for ii, i in enumerate(anc):
-            for j in anc[: ii + 1]:
+        for ii, i in enumerate(a_k):
+            for j in a_k[: ii + 1]:
                 Mw[(i, j)] = ssub(Mw[(i, j)], smul(L[(k, i)], Mw[(k, j)]))
     return L, Dinv
 
 
-def ldl_solve(L, Dinv, meta: _Meta, y: Sequence):
+def ldl_solve(L, Dinv, anc, y: Sequence):
     x = list(y)
     nv = len(x)
     for k in range(nv - 1, -1, -1):
-        for j in meta.anc_strict[k]:
+        for j in anc[k]:
             x[j] = ssub(x[j], smul(L[(k, j)], x[k]))
     for k in range(nv):
         x[k] = smul(x[k], Dinv[k])
     for k in range(nv):
-        for j in meta.anc_strict[k]:
+        for j in anc[k]:
             x[k] = ssub(x[k], smul(L[(k, j)], x[j]))
     return x
 
@@ -835,27 +868,162 @@ def _make_frame(n):
     return n, t1, t2
 
 
-def _contact_geometry(model, fk, slot):
-    """dist, pos, frame for one contact slot (plane-sphere / plane-capsule)."""
-    kind = slot["kind"]
-    g1, g2 = slot["g1"], slot["g2"]
-    # model.pairs geoms index the *collidable subset* already
-    ppos, pmat = fk["geom_xpos"][g1], fk["geom_xmat"][g1]
-    n = (pmat[0][2], pmat[1][2], pmat[2][2])  # plane normal = z column
-    size2 = model.geom_size[g2]
-    if kind == (GEOM_PLANE, GEOM_SPHERE):
-        spos = fk["geom_xpos"][g2]
-        r = float(size2[0])
-    else:  # plane-capsule: slot['sub'] picks the endpoint
-        cpos, cmat = fk["geom_xpos"][g2], fk["geom_xmat"][g2]
-        axis = (cmat[0][2], cmat[1][2], cmat[2][2])
-        r, half = float(size2[0]), float(size2[1])
-        sgn = 1.0 if slot["sub"] == 0 else -1.0
-        spos = v3add(cpos, v3scale(axis, sgn * half))
+def _plane_sphere_scalar(ppos, n, spos, r):
     cdist = v3dot(n, v3sub(spos, ppos))
     dist = ssub(cdist, r)
     pos = v3sub(spos, v3scale(n, sadd(r, smul(0.5, dist))))
     return dist, pos, _make_frame(n)
+
+
+def _sphere_box_scalar(spos, r, bpos, bmat, size):
+    """Scalar port of collision.sphere_box (normal from box into sphere)."""
+    rel = v3sub(spos, bpos)
+    local = m33_t_vec(bmat, rel)
+    sz = tuple(float(s) for s in size[:3])
+    clamped = tuple(smin(smax(local[i], -sz[i]), sz[i]) for i in range(3))
+    out_i = [sabs(local[i]) > sz[i] for i in range(3)]
+    outside = out_i[0] | out_i[1] | out_i[2]
+    delta_out = v3sub(local, clamped)
+    len2 = v3dot(delta_out, delta_out)
+    len_out = ssqrt(smax(len2, 0.0))
+    inv_len = srecip(smax(len_out, 1e-12))
+    n_out = v3scale(delta_out, inv_len)
+    dist_out = ssub(len_out, r)
+    pos_out = v3add(clamped, v3scale(n_out, smul(0.5, dist_out)))
+    # inside: face with minimal depth (jnp.argmin tie order: first wins)
+    depths = tuple(ssub(sz[i], sabs(local[i])) for i in range(3))
+    m0 = (depths[0] <= depths[1]) & (depths[0] <= depths[2])
+    m1 = (~m0) & (depths[1] <= depths[2])
+    m2 = ~(m0 | m1)
+    masks = (m0, m1, m2)
+    sgns = tuple(jnp.sign(local[i]) for i in range(3))
+    n_in = tuple(swhere(masks[i], sgns[i], 0.0) for i in range(3))
+    depth_min = swhere(m0, depths[0], swhere(m1, depths[1], depths[2]))
+    dist_in = sneg(sadd(depth_min, r))
+    surface = tuple(
+        swhere(masks[i], smul(sgns[i], sz[i]), local[i]) for i in range(3)
+    )
+    pos_in = v3add(surface, v3scale(n_in, smul(0.5, dist_in)))
+
+    dist = swhere(outside, dist_out, dist_in)
+    n_local = tuple(swhere(outside, n_out[i], n_in[i]) for i in range(3))
+    pos_local = tuple(swhere(outside, pos_out[i], pos_in[i]) for i in range(3))
+    n_world = m33_vec(bmat, n_local)
+    pos_world = v3add(bpos, m33_vec(bmat, pos_local))
+    return dist, pos_world, n_world
+
+
+def _box_corners(bpos, bmat, size):
+    sz = tuple(float(s) for s in size[:3])
+    corners = []
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            for sz_ in (-1, 1):
+                local = (sx * sz[0], sy * sz[1], sz_ * sz[2])
+                corners.append(v3add(bpos, m33_vec(bmat, local)))
+    return corners
+
+
+def _closest_on_segment_scalar(a, b, p):
+    ab = v3sub(b, a)
+    denom = smax(v3dot(ab, ab), 1e-12)
+    t = sdiv(v3dot(v3sub(p, a), ab), denom)
+    t = smin(smax(t, 0.0), 1.0)
+    return v3add(a, v3scale(ab, t))
+
+
+def _contact_geometry(model, fk, slot):
+    """dist, pos, frame for one contact slot; mirrors collision.collide's
+    per-kind math (including its documented capsule-box / box-box
+    approximations) on batched scalars."""
+    kind = slot["kind"]
+    g1, g2 = slot["g1"], slot["g2"]
+    # model.pairs geoms index the *collidable subset* already
+    p1, m1 = fk["geom_xpos"][g1], fk["geom_xmat"][g1]
+    p2, m2 = fk["geom_xpos"][g2], fk["geom_xmat"][g2]
+    size1 = model.geom_size[g1]
+    size2 = model.geom_size[g2]
+
+    if kind == (GEOM_PLANE, GEOM_SPHERE):
+        n = (m1[0][2], m1[1][2], m1[2][2])
+        return _plane_sphere_scalar(p1, n, p2, float(size2[0]))
+
+    if kind == (GEOM_PLANE, GEOM_CAPSULE):
+        n = (m1[0][2], m1[1][2], m1[2][2])
+        axis = (m2[0][2], m2[1][2], m2[2][2])
+        r, half = float(size2[0]), float(size2[1])
+        sgn = 1.0 if slot["sub"] == 0 else -1.0
+        spos = v3add(p2, v3scale(axis, sgn * half))
+        return _plane_sphere_scalar(p1, n, spos, r)
+
+    if kind == (GEOM_PLANE, GEOM_BOX):
+        # 4 slots: the 4 deepest of the 8 corners (collision._plane_box);
+        # slot `sub` is the corner of rank `sub` by distance (argsort order,
+        # ties broken by corner index).
+        n = (m1[0][2], m1[1][2], m1[2][2])
+        corners = _box_corners(p2, m2, size2)
+        dists = [v3dot(n, v3sub(c, p1)) for c in corners]
+        ranks = []
+        for i in range(8):
+            r_i = 0.0
+            for j in range(8):
+                if j == i:
+                    continue
+                lt = dists[j] < dists[i]
+                tie = (dists[j] == dists[i]) & (j < i)
+                r_i = sadd(r_i, swhere(lt | tie, 1.0, 0.0))
+            ranks.append(r_i)
+        k = slot["sub"]
+        sel = [ranks[i] == k for i in range(8)]
+        d = ssum([swhere(sel[i], dists[i], 0.0) for i in range(8)])
+        pos_c = tuple(
+            ssum([swhere(sel[i], corners[i][a], 0.0) for i in range(8)])
+            for a in range(3)
+        )
+        pos = v3sub(pos_c, v3scale(n, smul(0.5, d)))
+        return d, pos, _make_frame(n)
+
+    if kind == (GEOM_SPHERE, GEOM_BOX):
+        d, pos, n_world = _sphere_box_scalar(p1, float(size1[0]), p2, m2, size2)
+        # normal convention: from geom1 (sphere) into geom2 (box) -> flip
+        return d, pos, _make_frame(v3scale(n_world, -1.0))
+
+    if kind == (GEOM_CAPSULE, GEOM_BOX):
+        # collision._capsule_box: slot 0 = deepest segment point (iterative
+        # projection, 4 sweeps), slot 1 = the deeper capsule endpoint.
+        r, half = float(size1[0]), float(size1[1])
+        axis = (m1[0][2], m1[1][2], m1[2][2])
+        a = v3sub(p1, v3scale(axis, half))
+        b = v3add(p1, v3scale(axis, half))
+        if slot["sub"] == 0:
+            seg = p1
+            p = p2
+            sz = tuple(float(s) for s in size2[:3])
+            for _ in range(4):
+                seg = _closest_on_segment_scalar(a, b, p)
+                local = m33_t_vec(m2, v3sub(seg, p2))
+                local = tuple(
+                    smin(smax(local[i], -sz[i]), sz[i]) for i in range(3)
+                )
+                p = v3add(p2, m33_vec(m2, local))
+            d, pos, n_world = _sphere_box_scalar(seg, r, p2, m2, size2)
+        else:
+            da = _sphere_box_scalar(a, r, p2, m2, size2)
+            db = _sphere_box_scalar(b, r, p2, m2, size2)
+            deeper = da[0] < db[0]
+            d = swhere(deeper, da[0], db[0])
+            pos = tuple(swhere(deeper, da[1][i], db[1][i]) for i in range(3))
+            n_world = tuple(swhere(deeper, da[2][i], db[2][i]) for i in range(3))
+        return d, pos, _make_frame(v3scale(n_world, -1.0))
+
+    if kind == (GEOM_BOX, GEOM_BOX):
+        # collision._box_box: 8 slots = box1 corners vs box2 (point-in-box)
+        corners = _box_corners(p1, m1, size1)
+        c = corners[slot["sub"]]
+        d, pos, n_world = _sphere_box_scalar(c, 0.0, p2, m2, size2)
+        return d, pos, _make_frame(v3scale(n_world, -1.0))
+
+    raise NotImplementedError(f"fused contact kind {kind}")
 
 
 def _point_jac(model, fk, point, body, dofs):
@@ -1046,8 +1214,13 @@ def _newton_solve(model, meta, M, qacc_smooth, warmstart, rows):
         for r, dc in zip(rows, dcosts):
             for k2, d in enumerate(r.dofs):
                 grad[d] = sadd(grad[d], smul(r.J[k2], dc))
-        # H = M + J^T diag(h) J on the tree pattern
-        H = dict(M)
+        # H = M + J^T diag(h) J on the augmented solver pattern (zeros for
+        # entries outside M's tree pattern, e.g. robot-crate couplings)
+        H = {}
+        for i in range(nv):
+            for j in meta.anc_solver[i]:
+                H[(i, j)] = M.get((i, j), 0.0)
+            H[(i, i)] = M[(i, i)]
         for r, hc in zip(rows, hcosts):
             nd = len(r.dofs)
             for ii in range(nd):
@@ -1056,8 +1229,8 @@ def _newton_solve(model, meta, M, qacc_smooth, warmstart, rows):
                     j2 = r.dofs[jj2]
                     key = (i, j2) if i >= j2 else (j2, i)
                     H[key] = sadd(H[key], smul(hc, smul(r.J[ii], r.J[jj2])))
-        L, Dinv = ldl_factor(H, meta, nv)
-        delta = ldl_solve(L, Dinv, meta, [sneg(g) for g in grad])
+        L, Dinv = ldl_factor(H, meta.anc_solver, nv)
+        delta = ldl_solve(L, Dinv, meta.anc_solver, [sneg(g) for g in grad])
 
         jd = [
             ssum([smul(r.J[k2], delta[d]) for k2, d in enumerate(r.dofs)])
@@ -1126,8 +1299,8 @@ def _substep(model: PhysicsModel, meta: _Meta, spec: DerivedSpec, q, v, ws, ctrl
         )
         for d in range(nv)
     ]
-    L, Dinv = ldl_factor(M, meta, nv)
-    qacc_smooth = ldl_solve(L, Dinv, meta, qfrc_smooth)
+    L, Dinv = ldl_factor(M, meta.anc_strict, nv)
+    qacc_smooth = ldl_solve(L, Dinv, meta.anc_strict, qfrc_smooth)
 
     rows = _constraint_rows(model, meta, fk, q, v)
     qacc, qfrc_constraint = _newton_solve(model, meta, M, qacc_smooth, ws, rows)
@@ -1143,8 +1316,8 @@ def _substep(model: PhysicsModel, meta: _Meta, spec: DerivedSpec, q, v, ws, ctrl
         qfrc_total = [
             sadd(x, y) for x, y in zip(m_vec(M, meta, qacc_smooth), qfrc_constraint)
         ]
-        L2, Dinv2 = ldl_factor(Mhb, meta, nv)
-        qacc_int = ldl_solve(L2, Dinv2, meta, qfrc_total)
+        L2, Dinv2 = ldl_factor(Mhb, meta.anc_strict, nv)
+        qacc_int = ldl_solve(L2, Dinv2, meta.anc_strict, qfrc_total)
     else:
         qacc_int = qacc
 

@@ -95,7 +95,9 @@ class ShardedMBDPI(MBDPI):
 
         us = self._shard(self.node2u(Y0s))  # (Nsample, Hsample+1, nu)
         rewss = self._shard(self.rollout_us_batch(state, us))  # (Nsample, T)
-        rews_ybar_t, _ = self.rollout_us(state, self.node2u(Ybar_c))
+        # anchor rollout as a B=1 batch so it rides the fused kernel path too
+        # (a bare env.step scan would cost ~10x the whole sharded batch)
+        rews_ybar_t = self.rollout_us_batch(state, self.node2u(Ybar_c)[None])[0]
 
         rews = rewss.mean(axis=-1)  # (Nsample,) sharded
         rew_Ybar = rews_ybar_t.mean()  # replicated scalar

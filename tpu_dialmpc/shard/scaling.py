@@ -1,0 +1,98 @@
+"""Scaling-efficiency harness: solves/s vs mesh size.
+
+The north star requires reporting solve throughput and scaling efficiency at
+1 chip / 1 host / N hosts (BASELINE.json).  This harness runs the sharded
+annealing iteration (ShardedMBDPI.reverse_once) over increasing mesh slices
+and reports amortized iterations/s plus efficiency relative to linear scaling
+from the smallest mesh.
+
+On a fake multi-device CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_
+count=8) it validates the collective layout; on real TPU slices it is the
+scaling report itself.  Per-iteration host latency is excluded the same way
+bench.py does (chain-length slope).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_dialmpc.shard.mesh import make_mesh
+from tpu_dialmpc.shard.planner import ShardedMBDPI
+
+
+def _amortized_iteration(mbdpi, state, Y0, scale, r_lo=2, r_hi=10, reps=4):
+    @functools.partial(jax.jit, static_argnames=("r",))
+    def chain(state, y0, key, r):
+        def body(y, k):
+            y2, info = mbdpi.reverse_once(state, k, y, scale)
+            return y2, info.rew_Ybar
+
+        keys = jax.random.split(key, r)
+        y, rews = jax.lax.scan(body, y0, keys)
+        return y.sum() + rews.sum()
+
+    def timed(r):
+        float(np.asarray(chain(state, Y0, jax.random.PRNGKey(1), r)))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(chain(state, Y0, jax.random.PRNGKey(2), r)))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    return max(timed(r_hi) - timed(r_lo), 1e-9) / (r_hi - r_lo)
+
+
+def scaling_report(
+    task: str = "go2_stand",
+    nsample: int = 2048,
+    hsample: int = 20,
+    hnode: int = 5,
+    n_substeps: int = 8,
+    mesh_sizes: Optional[List[int]] = None,
+) -> List[Dict]:
+    """Iterations/s for each mesh size; efficiency vs linear scaling.
+
+    The workload is FIXED at Nsample (strong scaling): every mesh solves the
+    same problem, so ideal scaling keeps iteration time constant per chip
+    count growth only if the per-chip batch stays compute-bound.
+    """
+    from tpu_dialmpc.envs import get_env
+    from tpu_dialmpc.planner.dial import DialConfig
+
+    n_avail = len(jax.devices())
+    if mesh_sizes is None:
+        mesh_sizes = [s for s in (1, 2, 4, 8, 16) if s <= n_avail]
+
+    env = get_env(task, n_substeps=n_substeps)
+    cfg = DialConfig(Hsample=hsample, Hnode=hnode, Nsample=nsample, Ndiffuse=2)
+    rows = []
+    base = None
+    for n_dev in mesh_sizes:
+        mesh = make_mesh(n_devices=n_dev)
+        mbdpi = ShardedMBDPI(cfg, env, mesh)
+        state = env.reset(jax.random.PRNGKey(0))
+        Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size))
+        scale = jnp.asarray(mbdpi.sigma_control, Y0.dtype)
+        sec = _amortized_iteration(mbdpi, state, Y0, scale)
+        ips = 1.0 / sec
+        if base is None:
+            base = (n_dev, ips)
+        eff = (ips / base[1]) / (n_dev / base[0])
+        rows.append(
+            dict(
+                devices=n_dev,
+                nsample=nsample,
+                ms_per_iteration=1e3 * sec,
+                iterations_per_sec=ips,
+                efficiency_vs_linear=eff,
+            )
+        )
+    return rows
