@@ -158,3 +158,20 @@ def test_interpolation_reproduces_knots():
     y = rng.standard_normal((6, 4))
     A = spline.interp_matrix(t, t)
     np.testing.assert_allclose(A @ y, y, atol=1e-12)
+
+
+def test_linear_mode_matches_np_interp():
+    """spline_mode='linear' (reference's unused piecewiseLinearInterpolate,
+    dial-core.h:292-340) equals np.interp on interior queries."""
+    import numpy as np
+    from tpu_dialmpc.core import spline
+
+    t = spline.uniform_grid(4, 1.0)
+    q = spline.uniform_grid(16, 1.0)
+    A = spline.interp_matrix_linear(t, q)
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=t.shape[0])
+    np.testing.assert_allclose(A @ y, np.interp(q, t, y), atol=1e-12)
+    # plumbed through the planner transforms
+    A2 = spline.node2u_matrix(4, 16, 1.0 / 16.0, "linear")
+    np.testing.assert_allclose(A2, A, atol=1e-12)

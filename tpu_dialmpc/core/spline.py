@@ -33,6 +33,7 @@ import numpy as np
 
 __all__ = [
     "interp_matrix",
+    "interp_matrix_linear",
     "node2u_matrix",
     "u2node_matrix",
     "shift_matrix",
@@ -99,6 +100,31 @@ def _first_derivative_matrix(knot_times: np.ndarray, tail_slope: str) -> np.ndar
     return s1
 
 
+def interp_matrix_linear(
+    knot_times: np.ndarray, query_times: np.ndarray
+) -> np.ndarray:
+    """(Q, N) piecewise-linear interpolation matrix.
+
+    The reference's unused alternative interpolator
+    (`piecewiseLinearInterpolate`, dial-core.h:292-340 — both node2u/u2node
+    call sites keep it commented out in favor of the cubic spline); carried
+    as `spline_mode="linear"` for completeness.
+    """
+    t = np.asarray(knot_times, dtype=np.float64)
+    q = np.asarray(query_times, dtype=np.float64)
+    n = t.shape[0]
+    A = np.zeros((q.shape[0], n))
+    interval = 0
+    for k, tq in enumerate(q):
+        while interval < n - 2 and tq > t[interval + 1]:
+            interval += 1
+        i = min(interval, n - 2)
+        u = (tq - t[i]) / (t[i + 1] - t[i])
+        A[k, i] = 1.0 - u
+        A[k, i + 1] = u
+    return A
+
+
 def interp_matrix(
     knot_times: np.ndarray,
     query_times: np.ndarray,
@@ -111,6 +137,8 @@ def interp_matrix(
     evaluates on the left interval; queries past the last knot extrapolate on
     the final interval.
     """
+    if tail_slope == "linear":
+        return interp_matrix_linear(knot_times, query_times)
     t = np.asarray(knot_times, dtype=np.float64)
     q = np.asarray(query_times, dtype=np.float64)
     n = t.shape[0]

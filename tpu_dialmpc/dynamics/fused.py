@@ -34,10 +34,14 @@ binary the C++ calls through its pipeline shims
 (dial_mpc_eigen/include/unitree-go2-env.h:215-242).
 
 Supported models: free/hinge/slide joints (<=1 per body), fixed-gain actuators
-with none/affine bias, plane-sphere and plane-capsule contacts (condim 1/3,
-pyramidal), joint limits, dof friction loss.  `supported(model)` reports
-whether a compiled model can use the fused path; others fall back to the XLA
-pipeline (e.g. the crate scenes' box contacts).
+with none/affine bias, contacts of kinds plane-sphere, plane-capsule,
+plane-box, sphere-box, capsule-box, box-box (condim 1/3, pyramidal — covering
+every Go2/H1 scene including the crate tasks), joint limits, dof friction
+loss.  Contacts may couple separate kinematic trees (e.g. robot vs the
+crate's slide dof): the Newton Hessian pattern is the tree pattern plus
+per-row dof cliques closed under symbolic LDL fill-in.  `supported(model)`
+reports whether a compiled model can use the fused path; others fall back to
+the XLA pipeline.
 """
 
 from __future__ import annotations
