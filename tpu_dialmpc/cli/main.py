@@ -60,8 +60,22 @@ def cmd_run(args):
 
     env, dial_cfg, task = _build(args)
     stream = TelemetryStream(args.telemetry) if args.telemetry else None
+    resume = None
+    if args.resume:
+        from tpu_dialmpc import checkpoint
+
+        state, Y0, key, ckpt_cfg, step = checkpoint.load(args.resume, env)
+        resume = (state, Y0, key, step)
+        dial_cfg = ckpt_cfg if not args.n_steps else dial_cfg
+        print(f"resumed from {args.resume} at step {step}")
     t0 = time.time()
-    res = runner.run(env, dial_cfg, telemetry=stream)
+    res = runner.run(
+        env,
+        dial_cfg,
+        telemetry=stream,
+        resume=resume,
+        checkpoint_path=args.checkpoint,
+    )
     wall = time.time() - t0
     if stream:
         stream.close()
@@ -293,6 +307,8 @@ def main(argv=None):
         sp.add_argument("--out", default=None, help="trajectory .npz output")
         sp.add_argument("--iters", type=int, default=20)
         sp.add_argument("--trajectory", default=None)
+        sp.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
+        sp.add_argument("--resume", default=None, help="resume from checkpoint")
         sp.add_argument("--mode", default="ik", choices=("ik", "settle"))
         sp.add_argument("--dx", type=float, default=0.0)
         sp.add_argument("--dy", type=float, default=0.0)

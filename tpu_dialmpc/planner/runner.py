@@ -50,21 +50,33 @@ def run(
     cfg: DialConfig,
     telemetry=None,
     n_steps: Optional[int] = None,
+    resume: Optional[tuple] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 50,
 ) -> RunResult:
-    """Host-loop driver with optional telemetry sink."""
+    """Host-loop driver with optional telemetry sink and checkpoint/resume.
+
+    `resume=(state, Y0, key, t0)` continues a run from a checkpoint.load;
+    `checkpoint_path` writes the full control-loop state every
+    `checkpoint_every` steps (and at the end).
+    """
     mbdpi = MBDPI(cfg, env)
-    key = jax.random.PRNGKey(cfg.seed)
-    key, reset_key, warm_key = jax.random.split(key, 3)
-    state = env.reset(reset_key)
-    Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size), state.obs.dtype)
-    Y0 = jax.jit(mbdpi.reverse)(state, Y0, warm_key)
+    if resume is not None:
+        state, Y0, key, t0 = resume
+    else:
+        key = jax.random.PRNGKey(cfg.seed)
+        key, reset_key, warm_key = jax.random.split(key, 3)
+        state = env.reset(reset_key)
+        Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size), state.obs.dtype)
+        Y0 = jax.jit(mbdpi.reverse)(state, Y0, warm_key)
+        t0 = 0
 
     step_init = make_control_step(mbdpi, cfg.Ndiffuse_init)
     step_rest = make_control_step(mbdpi, cfg.Ndiffuse)
 
     n = cfg.n_steps if n_steps is None else n_steps
     rewards, dones, qpos_traj, qvel_traj, us_traj = [], [], [], [], []
-    for t in range(n):
+    for t in range(t0, n):
         key, k = jax.random.split(key)
         fn = step_init if t == 0 else step_rest
         action = Y0[0]
@@ -76,6 +88,12 @@ def run(
         us_traj.append(action)
         if telemetry is not None:
             telemetry.emit_step(t, state, infos)
+        if checkpoint_path and (
+            (t + 1) % checkpoint_every == 0 or t == n - 1
+        ):
+            from tpu_dialmpc import checkpoint
+
+            checkpoint.save(checkpoint_path, state, Y0, key, cfg, t + 1)
     return RunResult(
         rewards=jnp.stack(rewards),
         dones=jnp.stack(dones),
