@@ -70,3 +70,25 @@ def test_graft_entry():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out.reward))
+
+
+def test_run_scan_matches_host_loop():
+    """run_scan (one on-device lax.scan) equals the host-loop driver."""
+    import numpy as np
+
+    from tpu_dialmpc.envs import get_env
+    from tpu_dialmpc.planner import runner
+    from tpu_dialmpc.planner.dial import DialConfig
+
+    env = get_env("go2_stand", n_substeps=1)
+    cfg = DialConfig(
+        Hsample=4, Hnode=2, Nsample=4, Ndiffuse=1, Ndiffuse_init=1, n_steps=4
+    )
+    a = runner.run(env, cfg)
+    b = runner.run_scan(env, cfg)
+    np.testing.assert_allclose(
+        np.asarray(a.qpos), np.asarray(b.qpos), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.rewards), np.asarray(b.rewards), atol=1e-10
+    )

@@ -67,7 +67,8 @@ def _numpy_reverse_once(cfg, nu, x0, Ybar, noise, noise_scale):
 
 
 def test_reverse_once_matches_numpy_reference():
-    cfg = DialConfig(Hsample=8, Hnode=3, Nsample=16, ctrl_dt=0.02)
+    # the numpy transcription implements the C++ time-std scoring (quirk Q9)
+    cfg = DialConfig(Hsample=8, Hnode=3, Nsample=16, ctrl_dt=0.02, score_std="time")
     env = MockEnv()
     mbdpi = MBDPI(cfg, env)
     rng = np.random.default_rng(0)

@@ -147,7 +147,7 @@ class RefEmulator:
 def test_reverse_once_matches_reference_emulator():
     cfg = DialConfig(
         Hsample=5, Hnode=2, Nsample=6, ctrl_dt=0.02, temp_sample=0.05,
-        compat_q1=True, spline_mode="ref",
+        compat_q1=True, spline_mode="ref", score_std="time",
     )
     # --- emulator side ---
     emu = RefEmulator(cfg)
@@ -188,6 +188,7 @@ def test_receding_horizon_controls_match_reference_emulator():
         Hsample=5, Hnode=2, Nsample=4, Ndiffuse=2, Ndiffuse_init=2,
         ctrl_dt=0.02, temp_sample=0.05, horizon_diffuse_factor=0.9,
         traj_diffuse_factor=0.5, compat_q1=True, spline_mode="ref",
+        score_std="time",
     )
     emu = RefEmulator(cfg)
     env = get_env(

@@ -21,6 +21,17 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# True-f32 matmuls: XLA-TPU lowers f32 dot/einsum operands to bfloat16 by
+# default, which corrupts exactly the places this workload is sensitive —
+# contact-solver matvecs in the XLA physics path and the planner's
+# softmax-weighted candidate average (measured: bf16 default puts the XLA
+# pipeline ~0.5 qvel away from the float64 oracle on contact-rich states;
+# the fused Pallas kernel, which is pure-f32 VPU math, matches it to <1e-4).
+# Every matmul here is tiny, so "highest" costs nothing.
+import jax as _jax_prec
+
+_jax_prec.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent XLA compilation cache: the planner graphs are large (full physics
 # under vmap∘scan), so first-compile is expensive — cache it across processes.
 if not _os.environ.get("TPU_DIALMPC_NO_CACHE"):

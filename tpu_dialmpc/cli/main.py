@@ -69,13 +69,18 @@ def cmd_run(args):
         dial_cfg = ckpt_cfg if not args.n_steps else dial_cfg
         print(f"resumed from {args.resume} at step {step}")
     t0 = time.time()
-    res = runner.run(
-        env,
-        dial_cfg,
-        telemetry=stream,
-        resume=resume,
-        checkpoint_path=args.checkpoint,
-    )
+    if args.scan:
+        # fully on-device driver: one lax.scan over control steps (no host
+        # syncs; telemetry/checkpointing need the host loop)
+        res = runner.run_scan(env, dial_cfg)
+    else:
+        res = runner.run(
+            env,
+            dial_cfg,
+            telemetry=stream,
+            resume=resume,
+            checkpoint_path=args.checkpoint,
+        )
     wall = time.time() - t0
     if stream:
         stream.close()
@@ -307,6 +312,7 @@ def main(argv=None):
         sp.add_argument("--out", default=None, help="trajectory .npz output")
         sp.add_argument("--iters", type=int, default=20)
         sp.add_argument("--trajectory", default=None)
+        sp.add_argument("--scan", action="store_true", help="on-device scan driver")
         sp.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
         sp.add_argument("--resume", default=None, help="resume from checkpoint")
         sp.add_argument("--mode", default="ik", choices=("ik", "settle"))

@@ -53,6 +53,13 @@ class DialConfig:
     update_method: str = "mppi"
     # --- extensions ---
     spline_mode: str = "ref"  # "ref" replicates the C++ spline quirks
+    # Reference quirk Q9 (scoring): the upstream Python normalizes logits by
+    # the SCALAR std of the per-sample mean rewards (`rews.std(axis=-1)` on a
+    # 1-D array, dial_core.py), but the C++ re-reads that line as a per-sample
+    # std across TIME (dial-core.h:529-564 and the comment right above it) —
+    # which explodes logits for low-variance candidates and destabilizes
+    # locomotion.  "sample" (default) = upstream semantics; "time" = C++.
+    score_std: str = "sample"
     # Reference quirk Q1 compat (SURVEY §2.5): the C++ shares one mutable
     # mjData across candidate rollouts, so candidate i starts from candidate
     # i-1's terminal physics state (dial-core.h:443-456 + unitree-go2-env.h:433).
@@ -232,9 +239,14 @@ class MBDPI:
         args = self.args
         rews = rewss.mean(axis=-1)
         rew_Ybar = rewss[-1].mean()
-        # std across time with the reference's variance floor (dial-core.h:541-556)
-        var = jnp.mean((rewss - rews[:, None]) ** 2, axis=-1)
-        std = jnp.where(var > 1e-14, jnp.sqrt(var), 1e-7)
+        if args.score_std == "time":
+            # C++ quirk Q9: per-sample std across time, with the reference's
+            # variance floor (dial-core.h:541-556)
+            var = jnp.mean((rewss - rews[:, None]) ** 2, axis=-1)
+            std = jnp.where(var > 1e-14, jnp.sqrt(var), 1e-7)
+        else:
+            # upstream dial-mpc: scalar std of the mean rewards across samples
+            std = jnp.maximum(rews.std(), 1e-7)
         logp0 = (rews - rew_Ybar) / (std * args.temp_sample)
         logp0 = logp0 - jnp.max(logp0)
         weights = jax.nn.softmax(logp0)

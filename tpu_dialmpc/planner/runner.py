@@ -53,12 +53,19 @@ def run(
     resume: Optional[tuple] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
+    max_retries: int = 0,
 ) -> RunResult:
     """Host-loop driver with optional telemetry sink and checkpoint/resume.
 
     `resume=(state, Y0, key, t0)` continues a run from a checkpoint.load;
     `checkpoint_path` writes the full control-loop state every
     `checkpoint_every` steps (and at the end).
+
+    Failure recovery (the reference's only failure path is std::exit(1),
+    unitree-go2-env.h:254-259): with `max_retries > 0` and a checkpoint path,
+    a step that raises is retried from the last on-disk checkpoint — the
+    planner is stateless per solve, so (qpos, qvel, warmstart, Y0, info, key)
+    fully determines the continuation.
     """
     mbdpi = MBDPI(cfg, env)
     if resume is not None:
@@ -76,11 +83,26 @@ def run(
 
     n = cfg.n_steps if n_steps is None else n_steps
     rewards, dones, qpos_traj, qvel_traj, us_traj = [], [], [], [], []
-    for t in range(t0, n):
+    retries_left = max_retries
+    t = t0
+    while t < n:
         key, k = jax.random.split(key)
         fn = step_init if t == 0 else step_rest
         action = Y0[0]
-        state, Y0, infos = fn(state, Y0, k)
+        try:
+            state, Y0, infos = fn(state, Y0, k)
+        except Exception:
+            if retries_left <= 0 or not checkpoint_path:
+                raise
+            retries_left -= 1
+            from tpu_dialmpc import checkpoint
+
+            state, Y0, key, _, t_ck = checkpoint.load(checkpoint_path, env)
+            # drop records past the checkpoint and replay from there
+            del rewards[t_ck - t0:], dones[t_ck - t0:]
+            del qpos_traj[t_ck - t0:], qvel_traj[t_ck - t0:], us_traj[t_ck - t0:]
+            t = t_ck
+            continue
         rewards.append(state.reward)
         dones.append(state.done)
         qpos_traj.append(state.pipeline.qpos)
@@ -94,6 +116,7 @@ def run(
             from tpu_dialmpc import checkpoint
 
             checkpoint.save(checkpoint_path, state, Y0, key, cfg, t + 1)
+        t += 1
     return RunResult(
         rewards=jnp.stack(rewards),
         dones=jnp.stack(dones),

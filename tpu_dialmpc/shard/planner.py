@@ -101,12 +101,22 @@ class ShardedMBDPI(MBDPI):
 
         rews = rewss.mean(axis=-1)  # (Nsample,) sharded
         rew_Ybar = rews_ybar_t.mean()  # replicated scalar
-        var = jnp.mean((rewss - rews[:, None]) ** 2, axis=-1)
-        std = jnp.where(var > 1e-14, jnp.sqrt(var), 1e-7)
+        if args.score_std == "time":
+            # C++ quirk Q9 (see planner/dial.py): per-sample std across time
+            var = jnp.mean((rewss - rews[:, None]) ** 2, axis=-1)
+            std = jnp.where(var > 1e-14, jnp.sqrt(var), 1e-7)
+            var_y = jnp.mean((rews_ybar_t - rew_Ybar) ** 2)
+            std_y = jnp.where(var_y > 1e-14, jnp.sqrt(var_y), 1e-7)
+        else:
+            # upstream: scalar std across all Nsample+1 mean rewards — the
+            # mean/variance reductions lower to mesh collectives under GSPMD
+            n_all = args.Nsample + 1
+            mean_all = (jnp.sum(rews) + rew_Ybar) / n_all
+            var_all = (
+                jnp.sum((rews - mean_all) ** 2) + (rew_Ybar - mean_all) ** 2
+            ) / n_all
+            std = std_y = jnp.maximum(jnp.sqrt(var_all), 1e-7)
         logp0 = (rews - rew_Ybar) / (std * args.temp_sample)
-
-        var_y = jnp.mean((rews_ybar_t - rew_Ybar) ** 2)
-        std_y = jnp.where(var_y > 1e-14, jnp.sqrt(var_y), 1e-7)
         logp_ybar = (rew_Ybar - rew_Ybar) / (std_y * args.temp_sample)
 
         # global stable softmax over Nsample sharded + 1 replicated score:
