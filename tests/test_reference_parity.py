@@ -163,7 +163,7 @@ def test_reverse_once_matches_reference_emulator():
     # --- JAX side (float64, compat mode) ---
     env = get_env(
         "go2_stand", n_substeps=1, dtype="float64", ramp_up_time=1.0,
-        default_vx=0.8, kp=30.0, kd=0.65,
+        default_vx=0.8, kp=30.0, kd=0.65, joint_range_source="model",
     )
     mbdpi = MBDPI(cfg, env)
     state = env.reset(jax.random.PRNGKey(0))
@@ -193,7 +193,7 @@ def test_receding_horizon_controls_match_reference_emulator():
     emu = RefEmulator(cfg)
     env = get_env(
         "go2_stand", n_substeps=1, dtype="float64",
-        default_vx=0.8, kp=30.0, kd=0.65,
+        default_vx=0.8, kp=30.0, kd=0.65, joint_range_source="model",
     )
     mbdpi = MBDPI(cfg, env)
 

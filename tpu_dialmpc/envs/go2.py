@@ -54,6 +54,16 @@ class UnitreeGo2EnvConfig:
     energy_weight: float = 0.0  # dead-code env's energy term (weight 0 there too)
     dtype: str = "float32"
     fused: str = "auto"  # fused Pallas rollout kernel: "auto" | "on" | "off"
+    # Action-range source. The upstream Python dial-mpc uses narrow,
+    # home-centered joint ranges (act=0 targets ~the standing pose), preserved
+    # in the reference's dead-code env ("from Python snippet",
+    # dial_mpc/include/UnitreeGo2Env.h:276-288). The live C++ env instead
+    # reads the MODEL ranges (unitree-go2-env.h:324-331) whose rear-thigh
+    # midpoint sits 1.1 rad from the home pose — act=0 then drives the rear
+    # legs toward collapse, which destabilizes every gait (measured: trot
+    # sinks within ~10 control steps). "upstream" (default) = the Python
+    # table; "model" = the C++ behavior (parity tests pin this).
+    joint_range_source: str = "upstream"
 
 
 class UnitreeGo2Env(FusedRolloutMixin):
@@ -78,12 +88,20 @@ class UnitreeGo2Env(FusedRolloutMixin):
             key_qpos = np.array(self.model.qpos0)
         self._init_q = np.asarray(key_qpos)
         self._default_pose = self._init_q[7:]
-        # joint limits from the model (unitree-go2-env.h:324-331)
+        # joint limits (see joint_range_source in the config)
         hinge = [
             j for j in range(self.model.njnt) if self.model.jnt_type[j] == 3
         ]
-        self.joint_range = np.asarray(self.model.jnt_range)[hinge]
-        self.physical_joint_range = self.joint_range.copy()
+        model_range = np.asarray(self.model.jnt_range)[hinge]
+        if config.joint_range_source == "upstream" and self.model.nu == 12:
+            # upstream dial-mpc table, joint order (FR, FL, RR, RL)x(hip,
+            # thigh, calf) — dial_mpc/include/UnitreeGo2Env.h:276-288
+            front = [[-0.5, 0.5], [0.4, 1.4], [-2.3, -0.85]]
+            rear = [[-0.5, 0.5], [0.4, 1.4], [-2.3, -1.3]]
+            self.joint_range = np.array(front * 2 + rear * 2)
+        else:
+            self.joint_range = model_range
+        self.physical_joint_range = model_range.copy()
         # torque limits from actuator ctrlrange; (0,0) -> unlimited
         # (unitree-go2-env.h:340-354)
         cr = np.asarray(self.model.actuator_ctrlrange)
