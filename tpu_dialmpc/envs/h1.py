@@ -40,6 +40,14 @@ class UnitreeH1EnvConfig:
     pos_tar_z: float = 0.98  # pelvis height target (home keyframe height)
     dtype: str = "float32"
     fused: str = "auto"  # fused Pallas rollout kernel: "auto" | "on" | "off"
+    # Action-range source. "centered" (default) builds home-centered ranges
+    # home +/- action_halfwidth clipped to the model limits — the H1 model's
+    # raw ranges put e.g. the shoulder-roll/yaw midpoints 1.4-1.6 rad from
+    # the home pose, so act=0 would fling the arms out (the same failure mode
+    # as Go2's rear thighs, see envs/go2.py joint_range_source). "model" uses
+    # the raw MJCF ranges.
+    joint_range_source: str = "centered"
+    action_halfwidth: float = 0.7
 
 
 class UnitreeH1Env(FusedRolloutMixin):
@@ -65,8 +73,20 @@ class UnitreeH1Env(FusedRolloutMixin):
             [int(self.model.jnt_qposadr[j]) for j in self._act_jnt]
         )
         self._act_dadr = np.array(self.model.actuator_dofadr)
-        self.joint_range = np.asarray(self.model.jnt_range)[self._act_jnt]
-        self.physical_joint_range = self.joint_range.copy()
+        model_range = np.asarray(self.model.jnt_range)[self._act_jnt]
+        if config.joint_range_source == "centered":
+            # symmetric about home so act=0 targets exactly the home pose
+            # (an asymmetric clip would re-introduce the midpoint bias)
+            home_j = self._init_q[self._act_qadr]
+            w = np.minimum(
+                config.action_halfwidth,
+                np.minimum(home_j - model_range[:, 0], model_range[:, 1] - home_j),
+            )
+            w = np.maximum(w, 0.05)
+            self.joint_range = np.stack([home_j - w, home_j + w], axis=1)
+        else:
+            self.joint_range = model_range
+        self.physical_joint_range = model_range.copy()
         cr = np.asarray(self.model.actuator_ctrlrange)
         unlimited = np.all(np.abs(cr) < 1e-6, axis=1)
         self.joint_torque_range = np.where(
