@@ -1,0 +1,98 @@
+"""Gait reference and action-map unit tests (SURVEY §4 test plan: C7 gait
+function and C10c act2joint/act2tau golden vectors)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_dialmpc.envs import gait, get_env
+
+
+def _step_height_np(t, footphase, duty_ratio):
+    """Direct numpy port of the C++ step_height (unitree-go2-env.h:105-135)."""
+    angle = np.mod(t + np.pi - footphase, 2 * np.pi) - np.pi
+    if duty_ratio < 1.0:
+        angle = angle * 0.5 / (1.0 - duty_ratio)
+    clipped = np.clip(angle, -np.pi / 2, np.pi / 2)
+    value = np.cos(clipped) if duty_ratio < 1.0 else 0.0
+    return abs(value) if abs(value) >= 1e-6 else 0.0
+
+
+def test_step_height_matches_reference_port():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        t = rng.uniform(0, 20)
+        fp = rng.uniform(0, 2 * np.pi)
+        duty = rng.choice([0.3, 0.45, 0.75, 1.0])
+        got = float(gait.step_height(jnp.asarray(t), jnp.asarray(fp), duty))
+        want = _step_height_np(t, fp, duty)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_get_foot_step_stand_is_zero():
+    duty, cadence, amplitude = gait.GAIT_PARAMS["stand"]
+    phases = jnp.asarray(gait.GAIT_PHASES["stand"])
+    for t in (0.0, 0.1, 1.7):
+        h = gait.get_foot_step(duty, cadence, amplitude, phases, t)
+        np.testing.assert_allclose(np.asarray(h), 0.0, atol=1e-12)
+
+
+def test_get_foot_step_trot_alternates():
+    """Trot: diagonal pairs (FL,RR) vs (FR,RL) swing in antiphase."""
+    duty, cadence, amplitude = gait.GAIT_PARAMS["trot"]
+    phases = jnp.asarray(gait.GAIT_PHASES["trot"])  # (0, .5, .5, 0)
+    ts = np.linspace(0, 1.0 / cadence, 40, endpoint=False)
+    hs = np.stack(
+        [np.asarray(gait.get_foot_step(duty, cadence, amplitude, phases, t)) for t in ts]
+    )
+    assert hs.max() <= amplitude + 1e-7
+    np.testing.assert_allclose(hs[:, 0], hs[:, 3], atol=1e-7)  # FL == RR phase
+    np.testing.assert_allclose(hs[:, 1], hs[:, 2], atol=1e-7)  # FR == RL phase
+    # antiphase: when one pair is at peak swing the other is in stance (0)
+    peak = int(hs[:, 0].argmax())
+    assert hs[peak, 1] < 1e-6
+
+
+def test_act2joint_model_mode_golden():
+    """act -1/0/+1 map to lo/mid/hi of the joint range (unitree-go2-env.h:671-696)."""
+    env = get_env("go2_stand", joint_range_source="model")
+    jr = env.joint_range
+    lo = np.asarray(env.act2joint(jnp.full(12, -1.0)))
+    mid = np.asarray(env.act2joint(jnp.zeros(12)))
+    hi = np.asarray(env.act2joint(jnp.full(12, 1.0)))
+    np.testing.assert_allclose(lo, jr[:, 0], atol=1e-6)
+    np.testing.assert_allclose(mid, jr.mean(axis=1), atol=1e-6)
+    np.testing.assert_allclose(hi, jr[:, 1], atol=1e-6)
+
+
+def test_act2joint_upstream_zero_is_home():
+    """Upstream ranges: act=0 targets (approximately) the home pose for the
+    legs whose table interval is home-centered."""
+    env = get_env("go2_stand")  # default joint_range_source="upstream"
+    mid = np.asarray(env.act2joint(jnp.zeros(12)))
+    home = env._init_q[7:19]
+    # hips exactly 0; thighs 0.9; calf table midpoints are near home
+    np.testing.assert_allclose(mid[0::3], home[0::3], atol=1e-6)
+    np.testing.assert_allclose(mid[1::3], home[1::3], atol=1e-6)
+    assert np.all(np.abs(mid[2::3] - home[2::3]) < 0.25)
+
+
+def test_act2tau_pd_golden():
+    """tau = kp (target - q) - kd qdot, clipped to the torque range."""
+    import jax
+
+    env = get_env("go2_stand", joint_range_source="model", kp=30.0, kd=0.65)
+    state = env.reset(jax.random.PRNGKey(0))
+    act = jnp.full(12, 0.25)
+    tau = np.asarray(env.act2tau(act, state.pipeline))
+    q = np.asarray(state.pipeline.qpos[7:19])
+    qd = np.asarray(state.pipeline.qvel[6:18])
+    target = np.asarray(env.act2joint(act))
+    want = np.clip(
+        30.0 * (target - q) - 0.65 * qd,
+        env.joint_torque_range[:, 0],
+        env.joint_torque_range[:, 1],
+    )
+    np.testing.assert_allclose(tau, want, atol=1e-5)
+    # saturation: a huge action must clip to the torque limit
+    tau_sat = np.asarray(env.act2tau(jnp.full(12, 1.0) * 1.0, state.pipeline))
+    assert np.all(tau_sat <= env.joint_torque_range[:, 1] + 1e-6)
