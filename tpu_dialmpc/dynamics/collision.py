@@ -17,7 +17,7 @@ box-box emits corner-in-box contacts only (no edge-edge manifold).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -1412,6 +1412,7 @@ def build_fused_step(
     spec: DerivedSpec,
     tile: Tuple[int, int] = (8, 128),
     backend: str = "pallas",
+    vmem_limit_mb: int = 0,
 ):
     """Returns fn(qpos (B,nq), qvel (B,nv), ws (B,nv), ctrl (B,nu)) ->
     (qpos', qvel', ws', derived (B, ND)) running the fused substep chain.
@@ -1532,6 +1533,15 @@ def build_fused_step(
                 jax.ShapeDtypeStruct((T, d, S, Lanes), dtype)
                 for d in (nq, nv, nv, nd)
             ]
+            kwargs = {}
+            if vmem_limit_mb:
+                # contact-heavy models (crate scenes: ~56 constraint slots)
+                # exceed Mosaic's default ~16 MB scoped-VMEM budget; note a
+                # smaller batch tile does NOT help — every (S,128) value
+                # occupies a full (8,128) VMEM tile.
+                kwargs["compiler_params"] = pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+                )
             oq, ov, ow, od = pl.pallas_call(
                 kernel,
                 grid=(T,),
@@ -1539,6 +1549,7 @@ def build_fused_step(
                 out_specs=out_specs,
                 out_shape=out_shape,
                 interpret=(backend == "interpret"),
+                **kwargs,
             )(qpos_b, qvel_b, ws_b, ctrl_b)
 
         def unprep(x, d):
