@@ -66,12 +66,21 @@ def cmd_run(args):
 
         state, Y0, key, ckpt_cfg, step = checkpoint.load(args.resume, env)
         resume = (state, Y0, key, step)
-        dial_cfg = ckpt_cfg if not args.n_steps else dial_cfg
+        # the checkpoint's planner config is authoritative (the restored Y0
+        # has its Hnode+1 shape); --n-steps only extends the run
+        dial_cfg = ckpt_cfg
+        if args.n_steps:
+            dial_cfg = dataclasses.replace(dial_cfg, n_steps=args.n_steps)
         print(f"resumed from {args.resume} at step {step}")
     t0 = time.time()
     if args.scan:
         # fully on-device driver: one lax.scan over control steps (no host
         # syncs; telemetry/checkpointing need the host loop)
+        if args.resume or args.checkpoint or args.telemetry:
+            raise SystemExit(
+                "--scan is incompatible with --resume/--checkpoint/--telemetry "
+                "(those need the host-loop driver)"
+            )
         res = runner.run_scan(env, dial_cfg)
     else:
         res = runner.run(

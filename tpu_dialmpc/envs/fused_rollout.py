@@ -56,14 +56,15 @@ class FusedRolloutMixin:
         if not self._fused_enabled() or not fused.supported(self.model):
             return None, None
         s = max(1, min(8, -(-batch // 128)))
-        # Contact-heavy models (crate scenes: ~56 constraint slots vs 4 for
-        # flat Go2) need more scoped VMEM than Mosaic's ~16 MB default.
-        # Shrinking the batch tile does NOT help — each (S,128) value pads to
-        # a full (8,128) VMEM tile — so raise the compiler's budget instead.
-        n_slots = len(fused._meta(self.model).contact_slots)
-        vmem_mb = 64 if n_slots > 10 else 0
         key = (self.config.n_substeps, s)
         if key not in self._fused_cache:
+            # Contact-heavy models (crate scenes: ~56 constraint slots vs 4
+            # for flat Go2) need more scoped VMEM than Mosaic's ~16 MB
+            # default.  Shrinking the batch tile does NOT help — each (S,128)
+            # value pads to a full (8,128) VMEM tile — so raise the
+            # compiler's budget instead.
+            n_slots = len(fused._meta(self.model).contact_slots)
+            vmem_mb = 64 if n_slots > 10 else 0
             spec = fused.DerivedSpec(
                 torso_body=self._torso_idx,
                 want_sites=True,

@@ -83,7 +83,13 @@ class UnitreeH1Env(FusedRolloutMixin):
                 np.minimum(home_j - model_range[:, 0], model_range[:, 1] - home_j),
             )
             w = np.maximum(w, 0.05)
-            self.joint_range = np.stack([home_j - w, home_j + w], axis=1)
+            self.joint_range = np.stack(
+                [
+                    np.maximum(home_j - w, model_range[:, 0]),
+                    np.minimum(home_j + w, model_range[:, 1]),
+                ],
+                axis=1,
+            )
         else:
             self.joint_range = model_range
         self.physical_joint_range = model_range.copy()
@@ -274,7 +280,10 @@ class UnitreeH1Env(FusedRolloutMixin):
             + 1.0 * reward_height
         )
 
-        jr = jnp.asarray(self.joint_range, dtype)
+        # termination checks PHYSICAL limits, not the (narrow) action range —
+        # contact forces legitimately deflect joints past home±halfwidth
+        # while the robot is still upright (e.g. pushing the crate)
+        jr = jnp.asarray(self.physical_joint_range, dtype)
         joint_angles = qpos[self._act_qadr]
         out_of_range = jnp.any(
             (joint_angles < jr[:, 0]) | (joint_angles > jr[:, 1])

@@ -82,8 +82,14 @@ def run(
     step_rest = make_control_step(mbdpi, cfg.Ndiffuse)
 
     n = cfg.n_steps if n_steps is None else n_steps
+    if t0 >= n:
+        raise ValueError(
+            f"nothing to run: resume step {t0} >= n_steps {n} (the checkpoint "
+            "was written at the end of its run; raise n_steps to continue)"
+        )
     rewards, dones, qpos_traj, qvel_traj, us_traj = [], [], [], [], []
     retries_left = max_retries
+    emitted_hwm = t0  # telemetry high-water mark: don't re-emit replayed steps
     t = t0
     while t < n:
         key, k = jax.random.split(key)
@@ -92,12 +98,20 @@ def run(
         try:
             state, Y0, infos = fn(state, Y0, k)
         except Exception:
-            if retries_left <= 0 or not checkpoint_path:
-                raise
+            import os
+
+            if (
+                retries_left <= 0
+                or not checkpoint_path
+                or not os.path.exists(checkpoint_path)
+            ):
+                raise  # no checkpoint from THIS run to recover from
             retries_left -= 1
             from tpu_dialmpc import checkpoint
 
             state, Y0, key, _, t_ck = checkpoint.load(checkpoint_path, env)
+            if not (t0 <= t_ck <= t):
+                raise  # stale checkpoint from a different run
             # drop records past the checkpoint and replay from there
             del rewards[t_ck - t0:], dones[t_ck - t0:]
             del qpos_traj[t_ck - t0:], qvel_traj[t_ck - t0:], us_traj[t_ck - t0:]
@@ -108,8 +122,9 @@ def run(
         qpos_traj.append(state.pipeline.qpos)
         qvel_traj.append(state.pipeline.qvel)
         us_traj.append(action)
-        if telemetry is not None:
+        if telemetry is not None and t >= emitted_hwm:
             telemetry.emit_step(t, state, infos)
+            emitted_hwm = t + 1
         if checkpoint_path and (
             (t + 1) % checkpoint_every == 0 or t == n - 1
         ):

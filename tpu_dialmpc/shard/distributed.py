@@ -38,8 +38,11 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+    except RuntimeError as e:
+        # already initialized — jax 0.9 phrases this "should only be called
+        # once."; older versions say "already initialized"
+        msg = str(e).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 
