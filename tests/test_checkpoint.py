@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_dialmpc import checkpoint
 from tpu_dialmpc.envs import get_env
 from tpu_dialmpc.planner.dial import DialConfig
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     env = get_env("go2_stand", n_substeps=1)
     cfg = DialConfig(Hsample=5, Hnode=2, Nsample=4, n_steps=7)

@@ -97,6 +97,7 @@ def test_constrained_qacc_matches_oracle(seed):
     np.testing.assert_allclose(np.asarray(res.qacc), d.qacc, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_step_trajectory_parity_go2():
     """200 contact-rich mj_step calls stay within 1e-4 of the oracle."""
     m = assets.load_mj_model("go2_force")
@@ -116,6 +117,7 @@ def test_step_trajectory_parity_go2():
     np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_step_trajectory_parity_h1():
     """H1 humanoid (capsule feet) trajectory parity."""
     m = assets.load_mj_model("h1_walk")
@@ -136,6 +138,7 @@ def test_step_trajectory_parity_h1():
     np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_step_trajectory_parity_go2_position():
     """<position kp kv> actuators (fixed gain + affine bias): 200-step parity."""
     m = assets.load_mj_model("go2_position")
@@ -176,6 +179,7 @@ def test_qfrc_actuator_position_matches_oracle():
     np.testing.assert_allclose(np.asarray(mine), d.qfrc_actuator, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_substepping():
     """n_substeps=8 equals 8 sequential single steps."""
     m = assets.load_mj_model("go2_force")

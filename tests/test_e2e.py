@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_dialmpc.envs import get_env
 from tpu_dialmpc.planner.dial import DialConfig, MBDPI
@@ -20,6 +21,7 @@ def test_go2_env_reset_step():
     assert s2.obs.shape == (env.observation_size,)
 
 
+@pytest.mark.slow
 def test_go2_env_stands_under_home_pd():
     """PD-holding the home pose keeps the robot upright (sanity of physics+env)."""
     env = get_env("go2_stand", n_substeps=8)
@@ -37,6 +39,7 @@ def test_go2_env_stands_under_home_pd():
     assert float(state.pipeline.qpos[2]) > 0.18
 
 
+@pytest.mark.slow
 def test_h1_env_reset_step():
     env = get_env("h1_walk", n_substeps=1)
     state = env.reset(jax.random.PRNGKey(0))
@@ -44,6 +47,7 @@ def test_h1_env_reset_step():
     assert np.isfinite(float(s2.reward))
 
 
+@pytest.mark.slow
 def test_dial_mpc_tiny_loop():
     """Three receding-horizon control steps on real Go2 physics."""
     from tpu_dialmpc.planner import runner
@@ -64,6 +68,7 @@ def test_dial_mpc_tiny_loop():
     assert res.us.shape == (3, env.action_size)
 
 
+@pytest.mark.slow
 def test_graft_entry():
     import __graft_entry__ as ge
 
@@ -72,6 +77,7 @@ def test_graft_entry():
     assert np.isfinite(float(out.reward))
 
 
+@pytest.mark.slow
 def test_run_scan_matches_host_loop():
     """run_scan (one on-device lax.scan) equals the host-loop driver."""
     import numpy as np

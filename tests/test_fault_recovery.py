@@ -17,6 +17,7 @@ def _cfg():
     )
 
 
+@pytest.mark.slow
 def test_run_recovers_from_injected_fault(tmp_path, monkeypatch):
     env = get_env("go2_stand", n_substeps=1)
     clean = runner.run(env, _cfg())

@@ -65,8 +65,8 @@ def _ref_substep(model, qpos, qvel, ws, ctrl):
     [
         ("go2_force", "base"),
         ("h1_walk", "pelvis"),
-        ("go2_force_crate", "base"),
-        ("h1_push_crate", "pelvis"),
+        pytest.param("go2_force_crate", "base", marks=pytest.mark.slow),
+        pytest.param("h1_push_crate", "pelvis", marks=pytest.mark.slow),
     ],
 )
 def test_fused_substep_matches_pipeline(scene, torso):

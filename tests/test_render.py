@@ -1,0 +1,36 @@
+"""Offscreen rendering smoke test (tools/render.py, EGL headless).
+
+The visual-artifact counterpart of the reference's GLFW viewer
+(mujoco-sim.h:154-174): a saved qpos trajectory renders to a playable
+MP4/GIF with no display attached."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_dialmpc.dynamics import assets
+from tpu_dialmpc.tools.render import render_trajectory
+
+
+@pytest.mark.parametrize("scene", ["go2_force", "h1_walk"])
+def test_render_trajectory_headless(scene, tmp_path):
+    m = assets.load_mj_model(scene)
+    q0 = np.asarray(m.key_qpos[0])
+    T = 8
+    qpos = np.tile(q0, (T, 1))
+    qpos[:, 0] += np.linspace(0.0, 0.1, T)
+    out = str(tmp_path / f"{scene}.mp4")
+    try:
+        written = render_trajectory(scene, qpos, out, fps=25)
+    except Exception as e:  # no EGL device in some CI sandboxes
+        pytest.skip(f"offscreen GL unavailable: {e}")
+    assert os.path.exists(written)
+    assert os.path.getsize(written) > 1000
+
+
+def test_render_rejects_bad_shape(tmp_path):
+    with pytest.raises(ValueError):
+        render_trajectory(
+            "go2_force", np.zeros((5, 3)), str(tmp_path / "x.mp4")
+        )

@@ -21,6 +21,13 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# mujoco binds its GL backend from MUJOCO_GL at its FIRST import anywhere in
+# the process (default on Linux is glfw, which needs a display); select the
+# headless EGL backend up front so offscreen rendering (tools/render.py)
+# works.  The GL library only actually loads at Renderer creation, so this is
+# harmless when rendering is never used.
+_os.environ.setdefault("MUJOCO_GL", "egl")
+
 # True-f32 matmuls: XLA-TPU lowers f32 dot/einsum operands to bfloat16 by
 # default, which corrupts exactly the places this workload is sensitive —
 # contact-solver matvecs in the XLA physics path and the planner's

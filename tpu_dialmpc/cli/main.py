@@ -151,6 +151,31 @@ def cmd_plot(args):
     return 0
 
 
+def cmd_render(args):
+    """Offscreen-render a saved trajectory to MP4/GIF (tools/render.py).
+
+    Headless counterpart of the reference's interactive replay viewer
+    (mujoco-sim.h:154-174): `cli run --out traj.npz` then
+    `cli render --trajectory traj.npz --out traj.mp4`."""
+    from tpu_dialmpc.tools.render import render_trajectory
+
+    if not args.trajectory:
+        raise SystemExit("render needs --trajectory <traj.npz>")
+    data = np.load(args.trajectory)
+    env, dial_cfg, _ = _build(args)
+    out = args.out or (args.trajectory.rsplit(".", 1)[0] + ".mp4")
+    fps = 1.0 / max(env.dt, 1e-9)
+    written = render_trajectory(
+        env.config.scene,
+        data["qpos"],
+        out,
+        fps=fps,
+        track_body=env.TORSO_BODY,
+    )
+    print(f"rendered {data['qpos'].shape[0]} frames to {written}")
+    return 0
+
+
 def cmd_bench(args):
     import bench as bench_mod  # repo-root bench harness
 
@@ -305,6 +330,7 @@ def main(argv=None):
         ("bench", cmd_bench),
         ("replay", cmd_replay),
         ("plot", cmd_plot),
+        ("render", cmd_render),
         ("env-test", cmd_env_test),
         ("ik", cmd_ik),
         ("profile", cmd_profile),

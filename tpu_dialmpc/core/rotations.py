@@ -15,6 +15,7 @@ semantics the C++ claims to replicate.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "quat_mul",
@@ -25,6 +26,7 @@ __all__ = [
     "axis_angle_quat",
     "quat_integrate",
     "quat_to_yaw",
+    "quat_to_yaw_eigen",
     "normalize_quat",
     "global_to_body_velocity",
     "local_to_global_velocity",
@@ -135,3 +137,20 @@ def quat_to_yaw(q: jnp.ndarray) -> jnp.ndarray:
     """Yaw (Z euler) in (-π, π] from (..., 4) quaternion."""
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     return jnp.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
+
+
+def quat_to_yaw_eigen(q: jnp.ndarray) -> jnp.ndarray:
+    """Eigen-`eulerAngles(2,1,0)`-compatible yaw, range [0, π].
+
+    The reference's `quatToYaw` (unitree-go2-env.h:163-170) takes the FIRST
+    angle of Eigen's euler decomposition, which Eigen restricts to [0, π]:
+    for Z-Y-X order res[0] = atan2(R10, R00) and, when that is negative,
+    Eigen switches to the alternate decomposition res[0] += π (flipping
+    pitch/roll to compensate).  So whenever the true yaw is negative the C++
+    sees yaw+π — an ~π discontinuity that feeds `reward_yaw` and therefore
+    the softmax weights.  This replicates that semantics exactly for the
+    reference-parity path; `quat_to_yaw` is the corrected default.
+    """
+    yaw = quat_to_yaw(q)
+    pi = jnp.asarray(np.pi, yaw.dtype)
+    return jnp.where(yaw < 0.0, yaw + pi, yaw)

@@ -16,6 +16,10 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
+# headless GL backend — must precede the first mujoco import (also set in
+# tpu_dialmpc/__init__, kept here for direct-module imports)
+os.environ.setdefault("MUJOCO_GL", "egl")
+
 import mujoco
 
 _DUMMY_OBJ = (

@@ -80,11 +80,14 @@ class FusedRolloutMixin:
             self._fused_cache[key] = (fn, spec)
         return self._fused_cache[key]
 
-    def rollout_batch(self, state, all_us: jnp.ndarray):
+    def rollout_batch(self, state, all_us: jnp.ndarray, want_states=False):
         """Batched rollout (B, T, nu) -> per-step rewards (B, T), or None.
 
         Every candidate starts from `state` (the correct Q1-fixed semantics);
         rewards/termination/info updates are the same code path `step` uses.
+        With `want_states` also returns the (qpos, qvel, torso-xpos)
+        trajectories for the planner's Q4 diagnostics (dial-core.h:577-589):
+        (rewss (B,T), qss (B,T,nq), qdss (B,T,nv), xss (B,T,3)).
         """
         B = all_us.shape[0]
         fn, spec = self._get_fused_step(B)
@@ -121,8 +124,14 @@ class FusedRolloutMixin:
             qpos2, qvel2, ws2, der_flat = fn(qpos, qvel, ws, ctrl)
             der = fused.split_derived(model, spec, der_flat)
             reward, done, info2 = post(qpos2, qvel2, der, info, ctrl)
-            return (qpos2, qvel2, ws2, info2), reward
+            out = reward
+            if want_states:
+                out = (reward, qpos2, qvel2, der["torso_xpos"])
+            return (qpos2, qvel2, ws2, info2), out
 
         us_t_first = jnp.swapaxes(all_us.astype(jnp.float32), 0, 1)  # (T, B, nu)
-        _, rews = jax.lax.scan(body, (qpos0, qvel0, ws0, info0), us_t_first)
-        return jnp.swapaxes(rews, 0, 1)  # (B, T)
+        _, outs = jax.lax.scan(body, (qpos0, qvel0, ws0, info0), us_t_first)
+        if want_states:
+            # (T, B, ...) -> (B, T, ...)
+            return tuple(jnp.swapaxes(o, 0, 1) for o in outs)
+        return jnp.swapaxes(outs, 0, 1)  # (B, T)

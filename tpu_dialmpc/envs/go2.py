@@ -9,8 +9,9 @@ divergences from the reference's accidental behaviors are config-gated:
   (quirk Q2, unitree-go2-env.h:433); setting n_substeps=round(ctrl_dt/timestep)
   gives the substepped semantics of the upstream Python DIAL-MPC.
 - functional state: every rollout branches from its own snapshot (fixes Q1).
-- yaw extraction uses the standard atan2 form, not Eigen's [0,π]-clamped
-  eulerAngles (see core/rotations.py docstring).
+- yaw extraction defaults to the standard atan2 form; `yaw_mode="eigen"`
+  replicates Eigen's [0,π]-clamped eulerAngles exactly (see
+  core/rotations.py:quat_to_yaw_eigen) for the C++-parity path.
 
 Config-gated extras carried from the reference's dead-code richer env
 (dial_mpc/include/UnitreeGo2Env.h): 55-dim observation vector, foot contact /
@@ -64,6 +65,12 @@ class UnitreeGo2EnvConfig:
     # sinks within ~10 control steps). "upstream" (default) = the Python
     # table; "model" = the C++ behavior (parity tests pin this).
     joint_range_source: str = "upstream"
+    # Yaw extraction. "atan2" (default) is the standard (-π, π] yaw the
+    # upstream Python uses; "eigen" replicates the C++'s Eigen
+    # eulerAngles(2,1,0) first angle, which is range-clamped to [0, π]
+    # (true yaw + π whenever true yaw < 0 — unitree-go2-env.h:163-170,
+    # verified against Eigen bit-for-bit).  Parity tests pin "eigen".
+    yaw_mode: str = "atan2"
 
 
 class UnitreeGo2Env(FusedRolloutMixin):
@@ -298,7 +305,10 @@ class UnitreeGo2Env(FusedRolloutMixin):
         reward_upright = -jnp.sum((up_body - up_global) ** 2)
 
         yaw_tar = info.yaw_tar + ang_vel_tar[2] * self.dt * info.step.astype(dtype)
-        yaw = rot.quat_to_yaw(torso_xquat)
+        if cfg.yaw_mode == "eigen":
+            yaw = rot.quat_to_yaw_eigen(torso_xquat)
+        else:
+            yaw = rot.quat_to_yaw(torso_xquat)
         d_yaw = yaw - yaw_tar
         wrapped = jnp.arctan2(jnp.sin(d_yaw), jnp.cos(d_yaw))
         reward_yaw = -(wrapped**2)

@@ -66,6 +66,15 @@ class DialConfig:
     # True replicates that (sequential chaining — parity harness only);
     # False (default) rolls every candidate from the common snapshot.
     compat_q1: bool = False
+    # Q4 state diagnostics (dial-core.h:577-589): the C++ ships zero
+    # placeholders for qbar/qdbar/xbar because it never stores rollout
+    # states ("If you want real data, store states from each rollout").
+    # The upstream Python computes softmax-weighted rollout-state averages;
+    # diag_states=True does the same here (qbar over qpos, qdbar over qvel,
+    # xbar over the torso world position, all on the dense horizon).
+    # False keeps the C++ placeholder shapes (1,1) zeros and skips the
+    # extra rollout outputs on the hot path.
+    diag_states: bool = False
 
 
 class ReverseInfo(NamedTuple):
@@ -81,6 +90,11 @@ class ReverseInfo(NamedTuple):
     ess: jnp.ndarray  # effective sample size 1/Σw²
     entropy: jnp.ndarray  # softmax weight entropy
     new_noise_scale: jnp.ndarray  # (Hnode+1,) — unchanged (quirk Q5)
+    # Q4 weighted state averages (dial-core.h:577-589; zeros placeholders
+    # of shape (1, 1) unless DialConfig.diag_states — matching the C++):
+    qbar: jnp.ndarray  # (Hsample+1, nq) softmax-weighted rollout qpos
+    qdbar: jnp.ndarray  # (Hsample+1, nv) softmax-weighted rollout qvel
+    xbar: jnp.ndarray  # (Hsample+1, 3) softmax-weighted torso position
 
 
 class MBDPI:
@@ -190,6 +204,44 @@ class MBDPI:
 
         return jax.vmap(one)(carry0, all_us)
 
+    def rollout_us_batch_diag(self, state: EnvState, all_us: jnp.ndarray):
+        """Rollouts that also return state trajectories (Q4 diagnostics).
+
+        Returns (rewss (B,T), qss (B,T,nq), qdss (B,T,nv), xss (B,T,3)) —
+        the per-step rollout states whose softmax-weighted averages are the
+        qbar/qdbar/xbar the C++ left as placeholders (dial-core.h:577-589).
+        """
+        if hasattr(self.env, "rollout_batch"):
+            out = self.env.rollout_batch(state, all_us, want_states=True)
+            if out is not None:
+                return out
+        torso = getattr(self.env, "_torso_idx", None)
+        B = all_us.shape[0]
+        carry0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), self._lean(state)
+        )
+
+        def one(carry, us):
+            def body(c, u):
+                s2 = self.env.step(self._restore(state, c), u)
+                xpos = (
+                    s2.pipeline.xpos[torso]
+                    if torso is not None
+                    else s2.pipeline.qpos[:3]
+                )
+                return self._lean(s2), (
+                    s2.reward,
+                    s2.pipeline.qpos,
+                    s2.pipeline.qvel,
+                    xpos,
+                )
+
+            _, outs = jax.lax.scan(body, carry, us)
+            return outs
+
+        rewss, qss, qdss, xss = jax.vmap(one)(carry0, all_us)
+        return rewss, qss, qdss, xss
+
     def rollout_us_batch_compat_q1(self, state: EnvState, all_us: jnp.ndarray):
         """Reference-quirk-Q1 rollouts: candidates chained sequentially.
 
@@ -234,8 +286,12 @@ class MBDPI:
         all_Y0s = jnp.concatenate([Y0s, Ybar_i[None]], axis=0)
         return jnp.clip(all_Y0s, -1.0, 1.0)
 
-    def _score_update(self, rewss, all_Y0s, noise_scale):
-        """Score, softmax, weighted average (dial-core.h:529-592)."""
+    def _score_update(self, rewss, all_Y0s, noise_scale, diag=None):
+        """Score, softmax, weighted average (dial-core.h:529-592).
+
+        `diag` is an optional (qss, qdss, xss) tuple of rollout-state
+        trajectories; when given, the Q4 weighted averages are computed with
+        the same softmax weights as the control update."""
         args = self.args
         rews = rewss.mean(axis=-1)
         rew_Ybar = rewss[-1].mean()
@@ -251,6 +307,15 @@ class MBDPI:
         logp0 = logp0 - jnp.max(logp0)
         weights = jax.nn.softmax(logp0)
         Ybar = jnp.einsum("n,nij->ij", weights, all_Y0s)
+        if diag is not None:
+            qss, qdss, xss = diag
+            qbar = jnp.einsum("n,ntj->tj", weights, qss)
+            qdbar = jnp.einsum("n,ntj->tj", weights, qdss)
+            xbar = jnp.einsum("n,ntj->tj", weights, xss)
+        else:
+            # C++ placeholder semantics (dial-core.h:577-589)
+            z = jnp.zeros((1, 1), rewss.dtype)
+            qbar = qdbar = xbar = z
         info = ReverseInfo(
             rews=rews,
             rew_Ybar=rew_Ybar,
@@ -258,6 +323,9 @@ class MBDPI:
             ess=1.0 / jnp.sum(weights**2),
             entropy=-jnp.sum(weights * jnp.log(weights + 1e-30)),
             new_noise_scale=noise_scale,
+            qbar=qbar,
+            qdbar=qdbar,
+            xbar=xbar,
         )
         return Ybar, info
 
@@ -272,11 +340,14 @@ class MBDPI:
         """One annealing step (dial-core.h:469-593)."""
         all_Y0s = self._candidates(rng, Ybar_i, noise_scale, noise)
         all_us = self.node2u(all_Y0s)  # (Nsample+1, Hsample+1, nu)
+        diag = None
         if self.args.compat_q1:
             rewss, _ = self.rollout_us_batch_compat_q1(state, all_us)
+        elif self.args.diag_states and hasattr(state, "pipeline"):
+            rewss, *diag = self.rollout_us_batch_diag(state, all_us)
         else:
             rewss = self.rollout_us_batch(state, all_us)  # (Nsample+1, T)
-        return self._score_update(rewss, all_Y0s, noise_scale)
+        return self._score_update(rewss, all_Y0s, noise_scale, diag=diag)
 
     def reverse_once_compat(
         self,

@@ -71,6 +71,35 @@ class ShardedMBDPI(MBDPI):
                     )(state, all_us)
         return super().rollout_us_batch(state, all_us)
 
+    def rollout_us_batch_diag(self, state: EnvState, all_us: jnp.ndarray):
+        """Sharded rollouts that also return state trajectories (Q4).
+
+        Same dispatch as `rollout_us_batch`: fused-kernel envs run inside
+        `shard_map` over the sample axis (state outputs shard like rewards);
+        the XLA fallback shards via constraints."""
+        n_dev = self.mesh.devices.size
+        if n_dev > 1 and getattr(self.env, "rollout_batch", None) is not None:
+            if all_us.shape[0] % n_dev == 0:
+                probe = self.env._get_fused_step(all_us.shape[0] // n_dev)[0]
+                if probe is not None:
+                    spec = PartitionSpec(("dcn", "sample"))
+
+                    def local(state_rep, us_local):
+                        return self.env.rollout_batch(
+                            state_rep, us_local, want_states=True
+                        )
+
+                    return jax.shard_map(
+                        local,
+                        mesh=self.mesh,
+                        in_specs=(PartitionSpec(), spec),
+                        out_specs=(spec, spec, spec, spec),
+                        check_vma=False,
+                    )(state, all_us)
+        return tuple(
+            self._shard(o) for o in super().rollout_us_batch_diag(state, all_us)
+        )
+
     def reverse_once(
         self,
         state: EnvState,
@@ -94,10 +123,24 @@ class ShardedMBDPI(MBDPI):
         Ybar_c = jnp.clip(Ybar_i, -1.0, 1.0)
 
         us = self._shard(self.node2u(Y0s))  # (Nsample, Hsample+1, nu)
-        rewss = self._shard(self.rollout_us_batch(state, us))  # (Nsample, T)
-        # anchor rollout as a B=1 batch so it rides the fused kernel path too
-        # (a bare env.step scan would cost ~10x the whole sharded batch)
-        rews_ybar_t = self.rollout_us_batch(state, self.node2u(Ybar_c)[None])[0]
+        diag = args.diag_states and hasattr(state, "pipeline")
+        if diag:
+            rewss, qss, qdss, xss = self.rollout_us_batch_diag(state, us)
+            rewss = self._shard(rewss)
+            # anchor rollout (B=1, replicated) with states for the Q4 average
+            rews_ybar_t, q_y, qd_y, x_y = (
+                o[0]
+                for o in super().rollout_us_batch_diag(
+                    state, self.node2u(Ybar_c)[None]
+                )
+            )
+        else:
+            rewss = self._shard(self.rollout_us_batch(state, us))  # (Nsample, T)
+            # anchor rollout as a B=1 batch so it rides the fused kernel path
+            # too (a bare env.step scan would cost ~10x the sharded batch)
+            rews_ybar_t = self.rollout_us_batch(
+                state, self.node2u(Ybar_c)[None]
+            )[0]
 
         rews = rewss.mean(axis=-1)  # (Nsample,) sharded
         rew_Ybar = rews_ybar_t.mean()  # replicated scalar
@@ -131,6 +174,15 @@ class ShardedMBDPI(MBDPI):
         # weighted update: local partial sums + psum of (Hnode+1, nu)
         Ybar = jnp.einsum("n,nij->ij", w, Y0s) + w_ybar * Ybar_c
 
+        if diag:
+            # weighted state averages (Q4): sharded einsum + replicated anchor
+            qbar = jnp.einsum("n,ntj->tj", w, qss) + w_ybar * q_y
+            qdbar = jnp.einsum("n,ntj->tj", w, qdss) + w_ybar * qd_y
+            xbar = jnp.einsum("n,ntj->tj", w, xss) + w_ybar * x_y
+        else:
+            z = jnp.zeros((1, 1), rewss.dtype)
+            qbar = qdbar = xbar = z
+
         rews_all = jnp.concatenate([rews, rew_Ybar[None]])
         w_all = jnp.concatenate([w, w_ybar[None]])
         info = ReverseInfo(
@@ -140,5 +192,8 @@ class ShardedMBDPI(MBDPI):
             ess=1.0 / jnp.sum(w_all**2),
             entropy=-jnp.sum(w_all * jnp.log(w_all + 1e-30)),
             new_noise_scale=noise_scale,
+            qbar=qbar,
+            qdbar=qdbar,
+            xbar=xbar,
         )
         return Ybar, info

@@ -57,21 +57,27 @@ def scaling_report(
     hnode: int = 5,
     n_substeps: int = 8,
     mesh_sizes: Optional[List[int]] = None,
+    env=None,
 ) -> List[Dict]:
     """Iterations/s for each mesh size; efficiency vs linear scaling.
 
     The workload is FIXED at Nsample (strong scaling): every mesh solves the
     same problem, so ideal scaling keeps iteration time constant per chip
     count growth only if the per-chip batch stays compute-bound.
+
+    `env` overrides the task env (tests pass a stub so the harness itself is
+    exercisable on the fake-device CPU mesh).
     """
-    from tpu_dialmpc.envs import get_env
     from tpu_dialmpc.planner.dial import DialConfig
 
     n_avail = len(jax.devices())
     if mesh_sizes is None:
         mesh_sizes = [s for s in (1, 2, 4, 8, 16) if s <= n_avail]
 
-    env = get_env(task, n_substeps=n_substeps)
+    if env is None:
+        from tpu_dialmpc.envs import get_env
+
+        env = get_env(task, n_substeps=n_substeps)
     cfg = DialConfig(Hsample=hsample, Hnode=hnode, Nsample=nsample, Ndiffuse=2)
     rows = []
     base = None

@@ -65,6 +65,15 @@ class TelemetryStream:
             "rew_max": float(rews.max()) if rews is not None else None,
             "rew_std": float(rews.std()) if rews is not None else None,
         }
+        # Q4 weighted state averages (populated when DialConfig.diag_states;
+        # placeholders are (1,1) zeros per the C++ — dial-core.h:577-589)
+        if getattr(infos, "qbar", None) is not None and infos.qbar.size > infos.qbar.shape[0]:
+            qbar = np.asarray(infos.qbar[-1])  # last annealing iteration
+            qdbar = np.asarray(infos.qdbar[-1])
+            xbar = np.asarray(infos.xbar[-1])
+            rec["xbar_end"] = [float(v) for v in xbar[-1]]
+            rec["qbar_end_z"] = float(qbar[-1, 2])
+            rec["qdbar_end_norm"] = float(np.linalg.norm(qdbar[-1]))
         try:
             self._q.put_nowait(rec)
         except queue.Full:
