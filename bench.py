@@ -5,6 +5,13 @@ noise → spline-expand → 2049 batched physics rollouts × 21 steps × 8 subst
 → collective softmax update) on Go2 at Nsample=2048, Hsample=20 — the
 north-star workload (BASELINE.json: <10 ms/iteration per TPU v5e chip).
 
+The `extra` field carries the secondary metrics (same schema):
+  - full control-step latency: env.step + receding-horizon shift + 2
+    annealing iterations — the real-time unit of the application
+    (dial-core-test.cpp:64-99); its budget is ctrl_dt = 20 ms.
+  - the Nsample=16384 scaling row (8× the reference batch on one chip).
+  - achieved fraction of the VPU roofline for the fused rollout kernel.
+
 Measurement: iterations are chained inside one jitted `lax.scan` (exactly how
 the receding-horizon runner executes them) and timed end-to-end including the
 device→host readback; per-iteration time is the slope between a short and a
@@ -12,10 +19,9 @@ long chain, which removes the fixed host↔device round-trip latency (~25 ms on
 a tunneled TPU) that would otherwise dominate and is not part of steady-state
 control-loop throughput.
 
-`vs_baseline` = north-star budget (10 ms) / measured ms, so >1.0 beats the
-target.  The reference C++ publishes no numbers (BASELINE.md); its workload
-(42.6M sequential mj_step calls per 400-step run, SURVEY §6) is the
-qualitative anchor.
+`vs_baseline` = budget / measured, so >1.0 beats the target.  The reference
+C++ publishes no numbers (BASELINE.md); its workload (42.6M sequential
+mj_step calls per 400-step run, SURVEY §6) is the qualitative anchor.
 """
 
 import functools
@@ -23,13 +29,36 @@ import json
 import time
 
 NORTH_STAR_MS = 10.0
+CTRL_DT_MS = 20.0  # real-time budget of one control step (ctrl_dt=0.02)
+
+
+def _chain_slope_ms(timed, r_lo=2, r_hi=18):
+    t_lo, t_hi = timed(r_lo), timed(r_hi)
+    return 1000.0 * max(t_hi - t_lo, 1e-9) / (r_hi - r_lo)
+
+
+def _timed_factory(chain, args, iters):
+    import numpy as np
+
+    def timed(r):
+        # compile + warm
+        float(np.asarray(chain(*args, r)))
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            float(np.asarray(chain(*args, r)))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    return timed
 
 
 def run_bench(task="go2_stand", nsample=2048, hsample=20, hnode=5, iters=6,
               n_substeps=8):
+    """Headline: ms per reverse_once iteration."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from tpu_dialmpc.envs import get_env
     from tpu_dialmpc.planner.dial import DialConfig, MBDPI
@@ -59,20 +88,8 @@ def run_bench(task="go2_stand", nsample=2048, hsample=20, hnode=5, iters=6,
         y, rews = jax.lax.scan(body, y0, keys)
         return y.sum() + rews.sum()
 
-    def timed(r):
-        # compile + warm
-        float(np.asarray(chain(state, Y0, jax.random.PRNGKey(1), r)))
-        ts = []
-        for i in range(iters):
-            t0 = time.perf_counter()
-            float(np.asarray(chain(state, Y0, jax.random.PRNGKey(2 + i), r)))
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2]
-
-    r_lo, r_hi = 2, 18
-    t_lo, t_hi = timed(r_lo), timed(r_hi)
-    med_ms = 1000.0 * max(t_hi - t_lo, 1e-9) / (r_hi - r_lo)
+    timed = _timed_factory(chain, (state, Y0, jax.random.PRNGKey(1)), iters)
+    med_ms = _chain_slope_ms(timed)
     return {
         "metric": f"{task}_reverse_once_ms_N{nsample}_H{hsample}_sub{n_substeps}",
         "value": round(med_ms, 3),
@@ -81,5 +98,83 @@ def run_bench(task="go2_stand", nsample=2048, hsample=20, hnode=5, iters=6,
     }
 
 
+def run_control_step_bench(task="go2_stand", nsample=2048, hsample=20,
+                           hnode=5, iters=6, n_substeps=8, n_diffuse=2):
+    """Full control step: env.step + shift + n_diffuse annealing iterations
+    (the dial-core-test.cpp:64-99 loop body) chained on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_dialmpc.envs import get_env
+    from tpu_dialmpc.planner.dial import DialConfig, MBDPI
+
+    from tpu_dialmpc.envs.base import to_lean
+    from tpu_dialmpc.planner.runner import _lean_capable
+
+    env = get_env(task, n_substeps=n_substeps)
+    cfg = DialConfig(
+        Hsample=hsample, Hnode=hnode, Nsample=nsample, Ndiffuse=n_diffuse,
+        temp_sample=0.05, horizon_diffuse_factor=0.9, ctrl_dt=0.02,
+    )
+    mbdpi = MBDPI(cfg, env)
+    lean = _lean_capable(env)
+    state = env.reset(jax.random.PRNGKey(0))
+    if lean:
+        state = to_lean(state)
+    Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size))
+
+    @functools.partial(jax.jit, static_argnames=("r",))
+    def chain(state, y0, key, r):
+        def body(carry, k):
+            st, y = carry
+            st2 = env.step_lean(st, y[0]) if lean else env.step(st, y[0])
+            y1 = mbdpi.shift(y)
+            y2, infos = mbdpi.improve(st2, y1, k, n_diffuse)
+            return (st2, y2), infos.rew_Ybar[-1]
+
+        keys = jax.random.split(key, r)
+        (st, y), rews = jax.lax.scan(body, (state, y0), keys)
+        return y.sum() + rews.sum() + st.reward
+
+    timed = _timed_factory(chain, (state, Y0, jax.random.PRNGKey(1)), iters)
+    med_ms = _chain_slope_ms(timed, r_lo=2, r_hi=10)
+    return {
+        "metric": (
+            f"{task}_control_step_ms_N{nsample}_H{hsample}"
+            f"_sub{n_substeps}_d{n_diffuse}"
+        ),
+        "value": round(med_ms, 3),
+        "unit": "ms/control-step",
+        "vs_baseline": round(CTRL_DT_MS / med_ms, 3),
+    }
+
+
+def run_roofline(task="go2_stand", nsample=2048, hsample=20, n_substeps=8):
+    from tpu_dialmpc.telemetry.profile import fused_kernel_roofline
+
+    roof = fused_kernel_roofline(
+        task=task, nsample=nsample, n_substeps=n_substeps, hsample=hsample
+    )
+    frac = roof["fraction_of_roof"]
+    return {
+        "metric": f"{task}_fused_rollout_vpu_roofline_N{nsample}",
+        "value": round(frac, 3),
+        "unit": "fraction_of_vpu_roof",
+        "vs_baseline": round(frac, 3),  # target = 1.0 (speed of light)
+    }
+
+
 if __name__ == "__main__":
-    print(json.dumps(run_bench()))
+    headline = run_bench()
+    extra = []
+    for fn in (
+        lambda: run_control_step_bench(),
+        lambda: run_bench(nsample=16384, iters=4),
+        lambda: run_roofline(),
+    ):
+        try:
+            extra.append(fn())
+        except Exception as e:  # CPU-only hosts: fused/roofline unavailable
+            extra.append({"metric": "skipped", "error": str(e)[:200]})
+    headline["extra"] = extra
+    print(json.dumps(headline))

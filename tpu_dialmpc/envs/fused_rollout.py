@@ -80,6 +80,65 @@ class FusedRolloutMixin:
             self._fused_cache[key] = (fn, spec)
         return self._fused_cache[key]
 
+    def step_lean(self, state, action):
+        """Single-sample control step through the fused kernel (B=1).
+
+        The real-time unit of the application is env.step + shift + anneals
+        (dial-core-test.cpp:64-99); routing the executed step through the
+        same Pallas substep kernel as the rollouts removes the XLA-pipeline
+        single-sample path from the control loop (measured on v5e: the full
+        control step drops from ~19.5 ms to the anneal-dominated ~7 ms).
+
+        Accepts a full EnvState or LeanEnvState (only .pipeline.{qpos,qvel,
+        qacc_warmstart} and .info are read); returns a LeanEnvState, or None
+        when the fused kernel is unavailable (caller falls back to step).
+        """
+        from tpu_dialmpc.envs.base import LeanEnvState, LeanPipelineState
+
+        fn, spec = self._get_fused_step(1)
+        if fn is None:
+            return None
+        ps = state.pipeline
+        dtype = self._dtype
+        action = jnp.asarray(action, dtype)
+        qpos = ps.qpos.astype(jnp.float32)[None]
+        qvel = ps.qvel.astype(jnp.float32)[None]
+        ws = ps.qacc_warmstart.astype(jnp.float32)[None]
+        ctrl = self._ctrl_batch(action[None], qpos, qvel)
+        qpos2, qvel2, ws2, der_flat = fn(qpos, qvel, ws, ctrl)
+        der = fused.split_derived(self.model, spec, der_flat)
+        reward, done, info2 = self._post_physics(
+            qpos=qpos2[0],
+            qvel=qvel2[0],
+            site_xpos=der["site_xpos"][0],
+            torso_xpos=der["torso_xpos"][0],
+            torso_xquat=der["torso_xquat"][0],
+            torso_cvel=der["torso_cvel"][0],
+            root_com=der["root_com"][0],
+            qfrc_actuator=der["qfrc_actuator"][0],
+            info=state.info,
+            ctrl=ctrl[0],
+        )
+        vb, ab = self._body_velocities(
+            der["torso_xpos"][0],
+            der["torso_xquat"][0],
+            der["torso_cvel"][0],
+            der["root_com"][0],
+        )
+        obs = jnp.concatenate(
+            [info2.vel_tar, info2.ang_vel_tar, ctrl[0], qpos2[0], vb, ab,
+             qvel2[0][6:]]
+        )
+        return LeanEnvState(
+            pipeline=LeanPipelineState(
+                qpos=qpos2[0], qvel=qvel2[0], qacc_warmstart=ws2[0]
+            ),
+            obs=obs,
+            reward=jnp.asarray(reward, dtype),
+            done=done,
+            info=info2,
+        )
+
     def rollout_batch(self, state, all_us: jnp.ndarray, want_states=False):
         """Batched rollout (B, T, nu) -> per-step rewards (B, T), or None.
 

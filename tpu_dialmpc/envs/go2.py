@@ -205,7 +205,10 @@ class UnitreeGo2Env(FusedRolloutMixin):
         duty, cadence, amplitude = self._gait_params
         phases = jnp.asarray(self._gait_phases, self._dtype)
         t = step.astype(self._dtype) * self.dt
-        return gait.get_foot_step(duty, cadence, amplitude, phases, t)
+        # numpy-f64 gait params would promote the result under x64
+        return gait.get_foot_step(duty, cadence, amplitude, phases, t).astype(
+            self._dtype
+        )
 
     def _ctrl_batch(self, action, qpos, qvel):
         """Batched action -> ctrl map (vmapped act2joint / PD torque)."""

@@ -48,6 +48,19 @@ class UnitreeH1EnvConfig:
     # the raw MJCF ranges.
     joint_range_source: str = "centered"
     action_halfwidth: float = 0.7
+    # energy cost from the reference's dead-code env
+    # (dial_mpc/include/UnitreeGo2Env.h:699-713; weight 0 there too)
+    energy_weight: float = 0.0
+    # yaw extraction — see envs/go2.py yaw_mode
+    yaw_mode: str = "atan2"
+    # XY position anchor: pos_tar integrates vel_tar each step and the torso
+    # xy is pulled toward it.  The Go2 reward (which this env otherwise
+    # mirrors) tracks velocity only; on the biped that leaves drift free —
+    # measured: "stand" slid backward 5.2 m over 400 steps, and the drift
+    # fights commanded forward walking until the robot falls.  H1 carries no
+    # reference env (SURVEY §2.4: assets only), so this term is part of our
+    # H1 design.
+    pos_anchor_weight: float = 1.0
 
 
 class UnitreeH1Env(FusedRolloutMixin):
@@ -102,6 +115,18 @@ class UnitreeH1Env(FusedRolloutMixin):
         self._gait_phases = np.array(gait.BIPED_GAIT_PHASES[g])
         self._gait_params = np.array(gait.BIPED_GAIT_PARAMS[g])
         self._dtype = jnp.float32 if config.dtype == "float32" else jnp.float64
+        # Foot-geometry-derived contact threshold (the Go2 form
+        # `z_site - r < 1e-3`, envs/go2.py): H1's foot sites sit at the
+        # capsule sole, so the ground-contact site height is read off the
+        # home keyframe instead of a sphere radius.
+        import mujoco as _mj
+
+        _d = _mj.MjData(mj)
+        _d.qpos[:] = self._init_q[: mj.nq]
+        _mj.mj_forward(mj, _d)
+        self._foot_contact_z = np.array(
+            [_d.site_xpos[int(s)][2] for s in self._feet_site_id]
+        )
 
     @property
     def action_size(self) -> int:
@@ -249,7 +274,9 @@ class UnitreeH1Env(FusedRolloutMixin):
         duty, cadence, amplitude = self._gait_params
         phases = jnp.asarray(self._gait_phases, dtype)
         t_now = info.step.astype(dtype) * self.dt
-        z_feet_tar = gait.get_foot_step(duty, cadence, amplitude, phases, t_now)
+        z_feet_tar = gait.get_foot_step(
+            duty, cadence, amplitude, phases, t_now
+        ).astype(dtype)
         reward_gaits = -jnp.sum(((z_feet_tar - z_feet) / 0.05) ** 2)
 
         up_global = jnp.array([0.0, 0.0, 1.0], dtype)
@@ -257,7 +284,10 @@ class UnitreeH1Env(FusedRolloutMixin):
         reward_upright = -jnp.sum((up_body - up_global) ** 2)
 
         yaw_tar = info.yaw_tar + ang_vel_tar[2] * self.dt * info.step.astype(dtype)
-        yaw = rot.quat_to_yaw(torso_xquat)
+        if cfg.yaw_mode == "eigen":
+            yaw = rot.quat_to_yaw_eigen(torso_xquat)
+        else:
+            yaw = rot.quat_to_yaw(torso_xquat)
         d_yaw = yaw - yaw_tar
         wrapped = jnp.arctan2(jnp.sin(d_yaw), jnp.cos(d_yaw))
         reward_yaw = -(wrapped**2)
@@ -271,6 +301,20 @@ class UnitreeH1Env(FusedRolloutMixin):
         z_torso = torso_xpos[2]
         reward_height = -((z_torso - info.pos_tar[2]) ** 2)
 
+        # integrate the position target by the commanded velocity and anchor
+        # the torso xy to it (see pos_anchor_weight in the config)
+        pos_tar = info.pos_tar + vel_tar * jnp.asarray(self.dt, dtype)
+        reward_pos = -jnp.sum((torso_xpos[:2] - pos_tar[:2]) ** 2)
+
+        # energy term (dead-code env UnitreeGo2Env.h:699-713), config-gated
+        reward_energy = jnp.asarray(0.0, dtype)
+        if cfg.energy_weight != 0.0:
+            tau = qfrc_actuator[6:]
+            qd = qvel[6:]
+            reward_energy = -jnp.sum(
+                jnp.maximum(tau * qd / 160.0, 0.0) ** 2
+            )
+
         reward = (
             0.1 * reward_gaits
             + 0.5 * reward_upright
@@ -278,6 +322,8 @@ class UnitreeH1Env(FusedRolloutMixin):
             + 1.0 * reward_vel
             + 1.0 * reward_ang_vel
             + 1.0 * reward_height
+            + cfg.energy_weight * reward_energy
+            + cfg.pos_anchor_weight * reward_pos
         )
 
         # termination checks PHYSICAL limits, not the (narrow) action range —
@@ -294,14 +340,18 @@ class UnitreeH1Env(FusedRolloutMixin):
             | (z_torso < 0.5)
         )
 
-        contact = z_feet < 0.05
+        # foot-geometry contact (Go2 form envs/go2.py: site height relative
+        # to its ground-contact value, derived from the home keyframe)
+        contact = (
+            z_feet - jnp.asarray(self._foot_contact_z, dtype)
+        ) < 1e-3
         feet_air_time = jnp.where(
             contact | info.last_contact, 0.0, info.feet_air_time + self.dt
         )
 
         new_info = StateInfo(
             rng=rng,
-            pos_tar=info.pos_tar,
+            pos_tar=pos_tar,
             vel_tar=vel_tar,
             ang_vel_tar=ang_vel_tar,
             yaw_tar=info.yaw_tar,

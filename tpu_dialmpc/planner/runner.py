@@ -17,8 +17,18 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from tpu_dialmpc.envs.base import EnvState
+from tpu_dialmpc.envs.base import EnvState, to_lean
 from tpu_dialmpc.planner.dial import DialConfig, MBDPI
+
+
+def _lean_capable(env) -> bool:
+    """True when the env can run the control step through the fused kernel
+    (envs/fused_rollout.py step_lean) — TPU with a supported model."""
+    return (
+        getattr(env, "step_lean", None) is not None
+        and getattr(env, "_get_fused_step", None) is not None
+        and env._get_fused_step(1)[0] is not None
+    )
 
 
 class RunResult(NamedTuple):
@@ -32,12 +42,21 @@ class RunResult(NamedTuple):
 
 
 def make_control_step(mbdpi: MBDPI, n_diffuse: int):
-    """One receding-horizon step: execute, shift, anneal (dial-core-test.cpp:64-99)."""
+    """One receding-horizon step: execute, shift, anneal (dial-core-test.cpp:64-99).
+
+    On TPU with a fused-kernel env the executed step rides the same Pallas
+    substep kernel as the rollouts (step_lean) and the loop carries only the
+    lean state — the single-sample XLA pipeline would otherwise dominate the
+    control-step latency (~13 of ~19.5 ms at the benchmark config)."""
+    lean = _lean_capable(mbdpi.env)
 
     @jax.jit
     def control_step(state: EnvState, Y0: jnp.ndarray, key: jnp.ndarray):
         action = Y0[0]
-        state2 = mbdpi.env.step(state, action)
+        if lean:
+            state2 = mbdpi.env.step_lean(state, action)
+        else:
+            state2 = mbdpi.env.step(state, action)
         Y1 = mbdpi.shift(Y0)
         Y2, infos = mbdpi.improve(state2, Y1, key, n_diffuse)
         return state2, Y2, infos
@@ -68,12 +87,17 @@ def run(
     fully determines the continuation.
     """
     mbdpi = MBDPI(cfg, env)
+    lean = _lean_capable(env)
     if resume is not None:
         state, Y0, key, t0 = resume
+        if lean:
+            state = to_lean(state)
     else:
         key = jax.random.PRNGKey(cfg.seed)
         key, reset_key, warm_key = jax.random.split(key, 3)
         state = env.reset(reset_key)
+        if lean:
+            state = to_lean(state)
         Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size), state.obs.dtype)
         Y0 = jax.jit(mbdpi.reverse)(state, Y0, warm_key)
         t0 = 0
@@ -146,11 +170,17 @@ def run(
 def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
     """Fully on-device driver: one lax.scan over control steps (bench path)."""
     mbdpi = MBDPI(cfg, env)
+    lean = _lean_capable(env)
     key = jax.random.PRNGKey(cfg.seed)
     key, reset_key, warm_key = jax.random.split(key, 3)
     state = env.reset(reset_key)
+    if lean:
+        state = to_lean(state)
     Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size), state.obs.dtype)
     n = cfg.n_steps if n_steps is None else n_steps
+
+    def exec_step(state, action):
+        return env.step_lean(state, action) if lean else env.step(state, action)
 
     @jax.jit
     def full_run(state, Y0, key):
@@ -160,7 +190,7 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
             state, Y0, key = carry
             key, k = jax.random.split(key)
             action = Y0[0]
-            state2 = env.step(state, action)
+            state2 = exec_step(state, action)
             Y1 = mbdpi.shift(Y0)
             Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse_init)
             return (state2, Y2, key), (
@@ -172,7 +202,7 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
             state, Y0, key = carry
             key, k = jax.random.split(key)
             action = Y0[0]
-            state2 = env.step(state, action)
+            state2 = exec_step(state, action)
             Y1 = mbdpi.shift(Y0)
             Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse)
             return (state2, Y2, key), (
