@@ -9,6 +9,7 @@ from tpu_dialmpc.envs import get_env
 from tpu_dialmpc.planner.dial import DialConfig, MBDPI
 
 
+@pytest.mark.slow
 def test_go2_env_reset_step():
     env = get_env("go2_stand", n_substeps=1)
     state = env.reset(jax.random.PRNGKey(0))

@@ -64,7 +64,7 @@ def _ref_substep(model, qpos, qvel, ws, ctrl):
     "scene,torso",
     [
         ("go2_force", "base"),
-        ("h1_walk", "pelvis"),
+        pytest.param("h1_walk", "pelvis", marks=pytest.mark.slow),
         pytest.param("go2_force_crate", "base", marks=pytest.mark.slow),
         pytest.param("h1_push_crate", "pelvis", marks=pytest.mark.slow),
     ],

@@ -1,0 +1,93 @@
+"""Control-quality e2e gates (TPU-only, slow): the tasks actually work.
+
+The reference's only quality instrument is eyeballing the viewer and one
+printed average reward (dial-core-test.cpp:101-106).  These tests pin the
+measured behavior of the headline tasks on real hardware: the robot stays up,
+tracks the command, and (crate task) moves the payload.  Thresholds are the
+recorded envelopes from the tuning runs in PROGRESS/README minus margin.
+
+They need the fused kernel (400-step receding-horizon runs), so they are
+skipped off-TPU — the physics itself is oracle-tested on CPU elsewhere
+(tests/test_smooth_dynamics.py, test_constrained_dynamics.py, test_fused.py).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_dialmpc.envs import get_env
+from tpu_dialmpc.planner import runner
+from tpu_dialmpc.planner.dial import DialConfig
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        jax.default_backend() != "tpu", reason="needs the fused TPU kernel"
+    ),
+]
+
+
+def _run(task, n_steps=400, env_over=None, **dial):
+    env = get_env(task, n_substeps=8, **(env_over or {}))
+    cfg = DialConfig(
+        Hsample=dial.pop("Hsample", 32),
+        Hnode=dial.pop("Hnode", 8),
+        Nsample=dial.pop("Nsample", 2048),
+        Ndiffuse=2,
+        Ndiffuse_init=10,
+        temp_sample=0.05,
+        horizon_diffuse_factor=0.9,
+        traj_diffuse_factor=0.5,
+        ctrl_dt=0.02,
+        n_steps=n_steps,
+    )
+    res = runner.run_scan(env, cfg)
+    return np.asarray(res.qpos), np.asarray(res.rewards), np.asarray(res.dones)
+
+
+def test_go2_trot_quality():
+    """Go2 trot at vx=0.8: forward progress with torso height held."""
+    qpos, rewards, dones = _run(
+        "go2_trot", Hsample=20, Hnode=5, n_steps=400
+    )
+    z = qpos[:, 2]
+    assert z.min() > 0.15, z.min()
+    assert qpos[-1, 0] > 3.5, qpos[-1, 0]  # ≥3.5 m in 8 s at vx=0.8 (ramped)
+    assert not dones.any()
+
+
+def test_h1_loco_walk_quality():
+    """H1 (arms-fixed) walk at vx=0.5: pelvis ≥0.9 m held, ~4 m traveled."""
+    qpos, rewards, dones = _run("h1_loco")
+    z = qpos[:, 2]
+    assert z[-100:].mean() > 0.85, z[-100:].mean()
+    assert z.min() > 0.6, z.min()
+    assert qpos[-1, 0] > 3.0, qpos[-1, 0]
+
+
+def test_h1_walk_quality():
+    """H1 with arms (19 dof) at vx=0.5: stays up and makes progress."""
+    qpos, rewards, dones = _run("h1_walk")
+    z = qpos[:, 2]
+    assert z[-100:].mean() > 0.8, z[-100:].mean()
+    assert z.min() > 0.5, z.min()
+    assert qpos[-1, 0] > 2.0, qpos[-1, 0]
+
+
+def test_h1_push_crate_quality():
+    """H1 pushes the 30 kg crate: upright + positive crate displacement."""
+    qpos, rewards, dones = _run("h1_push_crate")
+    z = qpos[:, 2]
+    assert z[-100:].mean() > 0.8, z[-100:].mean()
+    crate = qpos[:, 26]  # the crate's slide dof
+    assert crate[-1] - crate[0] > 0.05, crate[-1] - crate[0]
+
+
+def test_go2_crate_quality():
+    """Go2 in the crate scene: approaches the crate without falling."""
+    qpos, rewards, dones = _run(
+        "go2_crate", Hsample=20, Hnode=5, n_steps=400
+    )
+    z = qpos[:, 2]
+    assert z.min() > 0.12, z.min()
+    assert qpos[-1, 0] > 1.0, qpos[-1, 0]  # reaches the crate face at 1.3 m

@@ -48,6 +48,12 @@ class UnitreeH1EnvConfig:
     # the raw MJCF ranges.
     joint_range_source: str = "centered"
     action_halfwidth: float = 0.7
+    # Arm/torso authority (h1_walk's 19-actuator model): full ±0.7 arm range
+    # lets the sampler trade balance for arm flailing — measured: h1_walk
+    # falls by step ~170 with symmetric authority while the arms-fixed
+    # h1_loco walks 400 steps.  Narrower arm targets keep the upper body
+    # quiet without freezing it (crate pushing still needs reach).
+    arm_halfwidth: float = 0.25
     # energy cost from the reference's dead-code env
     # (dial_mpc/include/UnitreeGo2Env.h:699-713; weight 0 there too)
     energy_weight: float = 0.0
@@ -87,12 +93,27 @@ class UnitreeH1Env(FusedRolloutMixin):
         )
         self._act_dadr = np.array(self.model.actuator_dofadr)
         model_range = np.asarray(self.model.jnt_range)[self._act_jnt]
+        # actuated-joint names (for per-group action authority)
+        import mujoco as _mjn
+
+        self._act_jnt_names = [
+            _mjn.mj_id2name(mj, _mjn.mjtObj.mjOBJ_JOINT, int(j)) or ""
+            for j in self._act_jnt
+        ]
         if config.joint_range_source == "centered":
             # symmetric about home so act=0 targets exactly the home pose
             # (an asymmetric clip would re-introduce the midpoint bias)
             home_j = self._init_q[self._act_qadr]
+            halfwidth = np.array(
+                [
+                    config.arm_halfwidth
+                    if any(k in n for k in ("shoulder", "elbow", "torso"))
+                    else config.action_halfwidth
+                    for n in self._act_jnt_names
+                ]
+            )
             w = np.minimum(
-                config.action_halfwidth,
+                halfwidth,
                 np.minimum(home_j - model_range[:, 0], model_range[:, 1] - home_j),
             )
             w = np.maximum(w, 0.05)
