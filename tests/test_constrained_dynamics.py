@@ -194,3 +194,93 @@ def test_substepping():
     np.testing.assert_allclose(
         np.asarray(eight.qpos), np.asarray(one.qpos), atol=1e-12
     )
+
+
+@pytest.mark.slow
+def test_step_trajectory_parity_go2_crate():
+    """Crate-scene fidelity (VERDICT: quantify the collision approximations).
+
+    collision.py documents two manifold approximations used only by the
+    crate scenes: capsule-box emits 2 sphere-box-style contacts (not the
+    full edge-clipped manifold) and box-box emits corner contacts only.
+    This drives the Go2 into the static crate (base starts ~0.4 m from the
+    crate face, forward-biased torques) and measures the PER-STEP model
+    error vs the MuJoCo oracle, resyncing our engine to the oracle state
+    every step — free-running comparison would conflate the manifold error
+    with chaotic divergence."""
+    m = assets.load_mj_model("go2_force_crate")
+    m.opt.timestep = 0.0025
+    model = compile_model(m).with_options(timestep=0.0025)
+    d = mujoco.MjData(m)
+    qpos = m.key_qpos[0].copy()
+    qpos[0] = 0.75  # crate face at x = 1.3 - 0.155; the driven robot reaches it
+    d.qpos[:] = qpos
+    mujoco.mj_forward(m, d)
+    st = pipeline.init(model, jnp.asarray(qpos), jnp.zeros(m.nv))
+    step_j = jax.jit(lambda s, c: pipeline.step(model, s, c, n_substeps=1))
+    # per-step model error: our engine steps FROM the oracle's exact state
+    # every step, so chaotic accumulation through 150 hard-contact steps
+    # doesn't mask (or inflate) the manifold approximation error itself
+    errs = []
+    for k in range(150):
+        # forward-driving torques so the robot runs into the crate
+        ctrl = np.clip(6.0 * np.sin(0.02 * k + np.arange(12)) + 2.0, -23, 23)
+        st = st._replace(
+            qpos=jnp.asarray(d.qpos.copy()),
+            qvel=jnp.asarray(d.qvel.copy()),
+            qacc_warmstart=jnp.asarray(d.qacc_warmstart.copy()),
+        )
+        d.ctrl[:] = ctrl
+        mujoco.mj_step(m, d)
+        st = step_j(st, jnp.asarray(ctrl))
+        errs.append(float(np.abs(np.asarray(st.qvel) - d.qvel).max()))
+    errs = np.array(errs)
+    print("go2-crate per-step qvel err: median %.2e p90 %.2e max %.2e" % (
+        np.median(errs), np.quantile(errs, 0.9), errs.max()))
+    # Recorded distribution (x0=0.75, 150 steps): median 1e-14 — steps whose
+    # contacts are plane/sphere/exact-manifold are bit-faithful; once the
+    # robot is against the crate the approximated capsule-box / corner-only
+    # box-box manifolds (module docstring) give O(0.1) qvel differences on
+    # the contact steps (p99 0.39, max 0.41; 71/150 steps >1e-3).  The
+    # asserts pin that envelope so a fidelity regression (or improvement)
+    # is visible.
+    assert np.median(errs) < 1e-9, np.median(errs)
+    assert (errs > 1e-3).mean() < 0.6, (errs > 1e-3).mean()
+    assert errs.max() < 1.0, errs.max()
+
+
+@pytest.mark.slow
+def test_step_trajectory_parity_h1_push_crate():
+    """H1 + 30 kg slide-joint crate: box contacts + crate dof parity."""
+    m = assets.load_mj_model("h1_push_crate")
+    m.opt.timestep = 0.0025
+    model = compile_model(m).with_options(timestep=0.0025)
+    d = mujoco.MjData(m)
+    qpos = m.key_qpos[0].copy() if m.nkey else m.qpos0.copy()
+    d.qpos[:] = qpos
+    mujoco.mj_forward(m, d)
+    st = pipeline.init(model, jnp.asarray(qpos), jnp.zeros(m.nv))
+    step_j = jax.jit(lambda s, c: pipeline.step(model, s, c, n_substeps=1))
+    errs, crate_errs = [], []
+    for k in range(150):
+        ctrl = np.clip(8.0 * np.sin(0.02 * k + np.arange(m.nu)), -40, 40)
+        st = st._replace(
+            qpos=jnp.asarray(d.qpos.copy()),
+            qvel=jnp.asarray(d.qvel.copy()),
+            qacc_warmstart=jnp.asarray(d.qacc_warmstart.copy()),
+        )
+        d.ctrl[:] = ctrl
+        mujoco.mj_step(m, d)
+        st = step_j(st, jnp.asarray(ctrl))
+        errs.append(float(np.abs(np.asarray(st.qvel) - d.qvel).max()))
+        crate_errs.append(float(abs(float(st.qpos[26]) - d.qpos[26])))
+    errs = np.array(errs)
+    print("h1-crate per-step qvel err: median %.2e p90 %.2e max %.2e" % (
+        np.median(errs), np.quantile(errs, 0.9), errs.max()))
+    # recorded distribution: median 1.3e-13, p90 2e-2, max 0.20
+    # (31/150 crate-contact steps >1e-3) — same envelope class as go2-crate
+    assert np.median(errs) < 1e-9, np.median(errs)
+    assert (errs > 1e-3).mean() < 0.4, (errs > 1e-3).mean()
+    assert errs.max() < 1.0, errs.max()
+    # the crate's own dof stays within the contact-step envelope
+    assert max(crate_errs) < 1e-2, max(crate_errs)

@@ -366,9 +366,9 @@ def _run_resynced_benchmark(cfg, env, noises):
     for t, step_noises in enumerate(noises):
         _, e_info = emu.step(e_info, e_Y[0].copy())
         phys = (
-            jnp.asarray(emu.d.qpos, dtype),
-            jnp.asarray(emu.d.qvel, dtype),
-            jnp.asarray(emu.d.qacc_warmstart, dtype),
+            jnp.asarray(emu.d.qpos.copy(), dtype),
+            jnp.asarray(emu.d.qvel.copy(), dtype),
+            jnp.asarray(emu.d.qacc_warmstart.copy(), dtype),
         )
         info = info0._replace(step=jnp.asarray(t + 1, jnp.int32))
         e_Y = emu.shift_m @ e_Y

@@ -349,11 +349,15 @@ class UnitreeH1Env(FusedRolloutMixin):
 
         # termination checks PHYSICAL limits, not the (narrow) action range —
         # contact forces legitimately deflect joints past home±halfwidth
-        # while the robot is still upright (e.g. pushing the crate)
+        # while the robot is still upright (e.g. pushing the crate).  MuJoCo
+        # joint limits are soft constraints, so normal walking overshoots
+        # them by ~0.01 rad (measured: hip_roll 0.443 vs 0.43); the 0.05 rad
+        # margin keeps termination for real failures, not limit compliance.
         jr = jnp.asarray(self.physical_joint_range, dtype)
+        tol = jnp.asarray(0.05, dtype)
         joint_angles = qpos[self._act_qadr]
         out_of_range = jnp.any(
-            (joint_angles < jr[:, 0]) | (joint_angles > jr[:, 1])
+            (joint_angles < jr[:, 0] - tol) | (joint_angles > jr[:, 1] + tol)
         )
         done = (
             (jnp.dot(up_body, up_global) < 0.0)
