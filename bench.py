@@ -22,6 +22,10 @@ control-loop throughput.
 `vs_baseline` = budget / measured, so >1.0 beats the target.  The reference
 C++ publishes no numbers (BASELINE.md); its workload (42.6M sequential
 mj_step calls per 400-step run, SURVEY §6) is the qualitative anchor.
+
+Metric-name convention: `H20` in a metric name is DialConfig.Hsample=20,
+i.e. 21 dense control points per rollout (Hsample+1) — kept stable across
+rounds for comparability.
 """
 
 import functools

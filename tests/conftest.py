@@ -22,5 +22,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("TPU_DIALMPC_TEST_TPU"):
+    # hardware mode: run the TPU-gated tests (test_quality_tpu, step_lean
+    # equality) on the real chip — everything else still passes, but the
+    # float64 oracle-parity tests are meant for the CPU default below
+    jax.config.update("jax_enable_x64", False)
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
