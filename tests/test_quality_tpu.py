@@ -98,3 +98,17 @@ def test_go2_crate_quality():
     # [0.227, 0.24], done 15% (transient stumbles at the wall).
     assert z.min() > 0.15, z.min()
     assert qpos[-1, 0] > 0.5, qpos[-1, 0]  # pressed against the crate face
+
+
+def test_go2_canter_quality():
+    """Canter at vx=1.0 (recorded: 5.8 m, z_mean 0.265, z_min 0.173)."""
+    qpos, rewards, dones = _run("go2_canter", Hsample=20, Hnode=5)
+    assert qpos[:, 2].min() > 0.12, qpos[:, 2].min()
+    assert qpos[-1, 0] > 4.5, qpos[-1, 0]
+
+
+def test_go2_gallop_quality():
+    """Gallop at vx=1.2 (recorded: 7.4 m, z_mean 0.266, z_min 0.22)."""
+    qpos, rewards, dones = _run("go2_gallop", Hsample=20, Hnode=5)
+    assert qpos[:, 2].min() > 0.15, qpos[:, 2].min()
+    assert qpos[-1, 0] > 5.5, qpos[-1, 0]
