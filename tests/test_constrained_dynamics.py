@@ -237,16 +237,14 @@ def test_step_trajectory_parity_go2_crate():
     errs = np.array(errs)
     print("go2-crate per-step qvel err: median %.2e p90 %.2e max %.2e" % (
         np.median(errs), np.quantile(errs, 0.9), errs.max()))
-    # Recorded distribution (x0=0.75, 150 steps): median 1e-14 — steps whose
-    # contacts are plane/sphere/exact-manifold are bit-faithful; once the
-    # robot is against the crate the approximated capsule-box / corner-only
-    # box-box manifolds (module docstring) give O(0.1) qvel differences on
-    # the contact steps (p99 0.39, max 0.41; 71/150 steps >1e-3).  The
-    # asserts pin that envelope so a fidelity regression (or improvement)
-    # is visible.
+    # Recorded distribution (x0=0.75, 150 steps) after the plane-capsule
+    # friction-frame fix (collision._plane_capsule): median 2.8e-15,
+    # p90 8.7e-15, max 1.1e-3 with 1/150 steps >1e-3 (a near-margin contact
+    # activation flip).  Before the fix the generic-tangent friction pyramid
+    # put 71/150 steps above 1e-3 (max 0.41).
     assert np.median(errs) < 1e-9, np.median(errs)
-    assert (errs > 1e-3).mean() < 0.6, (errs > 1e-3).mean()
-    assert errs.max() < 1.0, errs.max()
+    assert (errs > 1e-3).mean() < 0.05, (errs > 1e-3).mean()
+    assert errs.max() < 0.05, errs.max()
 
 
 @pytest.mark.slow
@@ -277,10 +275,12 @@ def test_step_trajectory_parity_h1_push_crate():
     errs = np.array(errs)
     print("h1-crate per-step qvel err: median %.2e p90 %.2e max %.2e" % (
         np.median(errs), np.quantile(errs, 0.9), errs.max()))
-    # recorded distribution: median 1.3e-13, p90 2e-2, max 0.20
-    # (31/150 crate-contact steps >1e-3) — same envelope class as go2-crate
+    # recorded distribution after the plane-capsule frame fix: median
+    # 2.8e-14, p90 9.2e-4, max 0.18 with 15/150 steps >1e-3 — the residual
+    # tail is near-margin activation flips of the (capsule-footed) biped's
+    # grazing contacts, not manifold shape (sets/params verified identical)
     assert np.median(errs) < 1e-9, np.median(errs)
-    assert (errs > 1e-3).mean() < 0.4, (errs > 1e-3).mean()
-    assert errs.max() < 1.0, errs.max()
+    assert (errs > 1e-3).mean() < 0.2, (errs > 1e-3).mean()
+    assert errs.max() < 0.5, errs.max()
     # the crate's own dof stays within the contact-step envelope
     assert max(crate_errs) < 1e-2, max(crate_errs)

@@ -79,7 +79,9 @@ def test_h1_push_crate_quality():
     """H1 pushes the 30 kg crate: upright + positive crate displacement."""
     qpos, rewards, dones = _run("h1_push_crate")
     z = qpos[:, 2]
-    # recorded: pelvis 0.82 sustained while pushing; crate moved 0.69 m
+    # recorded (500-step probe, crate_vel_weight=6 + anchor leash 0.4 after
+    # the plane-capsule friction-frame fix): crate +0.45 m, pelvis z min
+    # 0.86 / last-100 mean 0.94, no dones
     assert z[-100:].mean() > 0.75, z[-100:].mean()
     assert z.min() > 0.6, z.min()
     crate = qpos[:, 26]  # the crate's slide dof

@@ -29,6 +29,28 @@ def test_render_trajectory_headless(scene, tmp_path):
     assert os.path.getsize(written) > 1000
 
 
+def test_render_torque_arrows(tmp_path):
+    """tau (T, nu) draws per-joint arrow geoms without breaking encoding —
+    the C21 RViz-torque-marker equivalent (control_sequence_visualizer.cpp)."""
+    m = assets.load_mj_model("go2_force")
+    q0 = np.asarray(m.key_qpos[0])
+    T = 6
+    qpos = np.tile(q0, (T, 1))
+    rng = np.random.default_rng(0)
+    tau = rng.normal(scale=10.0, size=(T, m.nu))
+    out = str(tmp_path / "torques.mp4")
+    try:
+        written = render_trajectory("go2_force", qpos, out, fps=25, tau=tau)
+    except Exception as e:
+        pytest.skip(f"offscreen GL unavailable: {e}")
+    assert os.path.exists(written)
+    assert os.path.getsize(written) > 1000
+    with pytest.raises(ValueError):
+        render_trajectory(
+            "go2_force", qpos, out, tau=np.zeros((T + 1, m.nu))
+        )
+
+
 def test_render_rejects_bad_shape(tmp_path):
     with pytest.raises(ValueError):
         render_trajectory(

@@ -165,12 +165,32 @@ def cmd_render(args):
     env, dial_cfg, _ = _build(args)
     out = args.out or (args.trajectory.rsplit(".", 1)[0] + ".mp4")
     fps = 1.0 / max(env.dt, 1e-9)
+    tau = None
+    if args.torques:
+        # recompute executed PD torques from the saved (us, qpos, qvel) via
+        # the env's act2tau — rendered as per-joint arrows (C21 equivalent)
+        import jax
+        import jax.numpy as jnp
+
+        nu = env.action_size
+        qadr = getattr(env, "_act_qadr", None)
+        dadr = getattr(env, "_act_dadr", None)
+        qsel = (lambda q: q[qadr]) if qadr is not None else (lambda q: q[7 : 7 + nu])
+        dsel = (lambda v: v[dadr]) if dadr is not None else (lambda v: v[6 : 6 + nu])
+        tau = np.asarray(
+            jax.vmap(
+                lambda a, q, qd: env._act2tau_qv(
+                    jnp.asarray(a), qsel(jnp.asarray(q)), dsel(jnp.asarray(qd))
+                )
+            )(data["us"], data["qpos"], data["qvel"])
+        )
     written = render_trajectory(
         env.config.scene,
         data["qpos"],
         out,
         fps=fps,
         track_body=env.TORSO_BODY,
+        tau=tau,
     )
     print(f"rendered {data['qpos'].shape[0]} frames to {written}")
     return 0
@@ -348,6 +368,11 @@ def main(argv=None):
         sp.add_argument("--iters", type=int, default=20)
         sp.add_argument("--trajectory", default=None)
         sp.add_argument("--scan", action="store_true", help="on-device scan driver")
+        sp.add_argument(
+            "--torques",
+            action="store_true",
+            help="render per-joint torque arrows (RViz marker equivalent)",
+        )
         sp.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
         sp.add_argument("--resume", default=None, help="resume from checkpoint")
         sp.add_argument("--mode", default="ik", choices=("ik", "settle"))

@@ -7,7 +7,9 @@ counts — ideal for vmap/jit on TPU.
 
 Conventions match MuJoCo: contact normal points from geom1 into geom2,
 `pos` is midway between the surfaces, `frame` rows are [normal, tangent1,
-tangent2] built like mju_makeFrame.
+tangent2] built like mju_makeFrame — except plane-capsule, where MuJoCo
+aligns tangent1 with the capsule axis projected onto the plane (see
+`_plane_capsule`), which orients the friction pyramid.
 
 Approximations (documented divergences from MuJoCo's narrowphase, used only by
 the crate tasks): capsule-box emits two sphere-box style contacts (deepest
@@ -112,12 +114,32 @@ def _plane_sphere(ppos, pmat, spos, r):
 
 
 def _plane_capsule(ppos, pmat, cpos, cmat, size):
+    """Two endpoint contacts with the MuJoCo plane-capsule frame.
+
+    MuJoCo aligns the first friction tangent with the capsule axis projected
+    onto the plane (engine_collision_primitive.c mjc_PlaneCapsule; verified
+    empirically: a capsule yawed 30° on the floor reports t1 = (cos30, sin30)
+    for both contacts, while sphere/box-plane contacts use the plain
+    mju_makeFrame tangents).  Under the pyramidal cone the tangent directions
+    define the friction pyramid edges, so using the generic frame here
+    rotates the cone and measurably changes contact forces (the round-2
+    crate-scene tail error traced to exactly this).  Near-vertical capsules
+    (projection ~0) fall back to the generic frame, like MuJoCo.
+    """
     r, half = size[0], size[1]
     axis = cmat[..., :, 2]
+    n = pmat[..., :, 2]
+    proj = axis - n * jnp.sum(n * axis, axis=-1, keepdims=True)
+    plen = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    generic = make_frame(n)
+    t1 = jnp.where(plen > 1e-10, proj / jnp.maximum(plen, 1e-30), generic[..., 1, :])
+    t2 = jnp.cross(n, t1)
+    frame = jnp.stack([n, t1, t2], axis=-2)
     outs = []
     for sgn in (1.0, -1.0):
         end = cpos + sgn * half * axis
-        outs.append(_plane_sphere(ppos, pmat, end, r))
+        dist, pos, _ = _plane_sphere(ppos, pmat, end, r)
+        outs.append((dist, pos, frame))
     return outs
 
 

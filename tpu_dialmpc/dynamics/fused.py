@@ -958,7 +958,20 @@ def _contact_geometry(model, fk, slot):
         r, half = float(size2[0]), float(size2[1])
         sgn = 1.0 if slot["sub"] == 0 else -1.0
         spos = v3add(p2, v3scale(axis, sgn * half))
-        return _plane_sphere_scalar(p1, n, spos, r)
+        dist, pos, _ = _plane_sphere_scalar(p1, n, spos, r)
+        # MuJoCo plane-capsule frame: t1 = capsule axis projected onto the
+        # plane (mjc_PlaneCapsule; see collision._plane_capsule) — the
+        # friction-pyramid orientation, not the generic makeFrame tangent.
+        proj = v3sub(axis, v3scale(n, v3dot(n, axis)))
+        pl2 = v3dot(proj, proj)
+        gen_n, gen_t1, gen_t2 = _make_frame(n)
+        nearz = pl2 < 1e-20
+        inv = 1.0 / ssqrt(swhere(nearz, 1.0, pl2))
+        t1 = tuple(
+            swhere(nearz, gen_t1[a], smul(proj[a], inv)) for a in range(3)
+        )
+        t2 = v3cross(n, t1)
+        return dist, pos, (n, t1, t2)
 
     if kind == (GEOM_PLANE, GEOM_BOX):
         # 4 slots: the 4 deepest of the 8 corners (collision._plane_box);

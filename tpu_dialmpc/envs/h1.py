@@ -67,6 +67,26 @@ class UnitreeH1EnvConfig:
     # reference env (SURVEY §2.4: assets only), so this term is part of our
     # H1 design.
     pos_anchor_weight: float = 1.0
+    # Anchor leash (meters; 0 = off): cap how far pos_tar may lead the torso
+    # xy.  The anchor integrates vel_tar open-loop, so when the environment
+    # legitimately limits progress (h1_push_crate: the 30 kg crate caps the
+    # push speed well below default_vx) the error grows without bound and the
+    # planner eventually trades balance for lunging into the obstacle
+    # (measured: pushes the crate 1.2 m, then dives at step ~395 as the
+    # anchor penalty passes -2.5).  The leash keeps a constant-magnitude
+    # forward pull instead; candidate ranking is preserved (penalty is
+    # monotone in distance-to-target, saturating at leash²).
+    pos_anchor_leash: float = 0.0
+    # Crate-task reward (h1_push_crate): reward the payload's own forward
+    # velocity, clipped to ±crate_vel_cap.  Rewarding the anchor/velocity
+    # alone leaves two cheaper strategies the planner measurably finds:
+    # walking around the crate (leashed anchor penalty relaxes to ~0 while
+    # the crate never moves) and dive-shoving (a terminal lunge spikes crate
+    # velocity, but the clip means speed beyond the cap earns nothing, so a
+    # steady sub-cap push accumulates more).  0 disables; binds only when the
+    # scene has an unactuated slide joint (the crate's dof).
+    crate_vel_weight: float = 0.0
+    crate_vel_cap: float = 0.3
 
 
 class UnitreeH1Env(FusedRolloutMixin):
@@ -148,6 +168,18 @@ class UnitreeH1Env(FusedRolloutMixin):
         self._foot_contact_z = np.array(
             [_d.site_xpos[int(s)][2] for s in self._feet_site_id]
         )
+        # unactuated slide joint = the crate's dof (push-crate scenes); None
+        # on crate-free scenes, which keeps crate_vel_weight inert there
+        from tpu_dialmpc.dynamics.model import JNT_SLIDE
+
+        act_dofs = {int(d) for d in self.model.actuator_dofadr}
+        free_slides = [
+            int(self.model.jnt_dofadr[j])
+            for j in range(self.model.njnt)
+            if int(self.model.jnt_type[j]) == JNT_SLIDE
+            and int(self.model.jnt_dofadr[j]) not in act_dofs
+        ]
+        self._crate_dof = free_slides[0] if free_slides else None
 
     @property
     def action_size(self) -> int:
@@ -325,6 +357,15 @@ class UnitreeH1Env(FusedRolloutMixin):
         # integrate the position target by the commanded velocity and anchor
         # the torso xy to it (see pos_anchor_weight in the config)
         pos_tar = info.pos_tar + vel_tar * jnp.asarray(self.dt, dtype)
+        if cfg.pos_anchor_leash > 0.0:
+            err = pos_tar[:2] - torso_xpos[:2]
+            n = jnp.sqrt(jnp.sum(err**2))
+            scale = jnp.minimum(
+                jnp.asarray(1.0, dtype),
+                jnp.asarray(cfg.pos_anchor_leash, dtype)
+                / jnp.maximum(n, jnp.asarray(1e-6, dtype)),
+            )
+            pos_tar = pos_tar.at[:2].set(torso_xpos[:2] + err * scale)
         reward_pos = -jnp.sum((torso_xpos[:2] - pos_tar[:2]) ** 2)
 
         # energy term (dead-code env UnitreeGo2Env.h:699-713), config-gated
@@ -336,6 +377,12 @@ class UnitreeH1Env(FusedRolloutMixin):
                 jnp.maximum(tau * qd / 160.0, 0.0) ** 2
             )
 
+        # capped crate-velocity reward (see crate_vel_weight in the config)
+        reward_crate = jnp.asarray(0.0, dtype)
+        if cfg.crate_vel_weight != 0.0 and self._crate_dof is not None:
+            cap = jnp.asarray(cfg.crate_vel_cap, dtype)
+            reward_crate = jnp.clip(qvel[self._crate_dof], -cap, cap)
+
         reward = (
             0.1 * reward_gaits
             + 0.5 * reward_upright
@@ -345,6 +392,7 @@ class UnitreeH1Env(FusedRolloutMixin):
             + 1.0 * reward_height
             + cfg.energy_weight * reward_energy
             + cfg.pos_anchor_weight * reward_pos
+            + cfg.crate_vel_weight * reward_crate
         )
 
         # termination checks PHYSICAL limits, not the (narrow) action range —

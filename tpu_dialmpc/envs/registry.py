@@ -97,5 +97,20 @@ _REGISTRY["h1_loco"] = _h1(
     dict(gait="walk", default_vx=0.5, scene="h1_loco")
 )
 _REGISTRY["h1_push_crate"] = _h1(
-    dict(gait="walk", default_vx=0.3, scene="h1_push_crate")
+    # the 30 kg crate caps push speed below default_vx; the anchor leash
+    # (envs/h1.py pos_anchor_leash) keeps the blocked-progress penalty
+    # bounded so the planner doesn't trade balance for lunging, and the
+    # capped crate-velocity reward (crate_vel_weight) makes steady pushing
+    # beat both sidestepping the crate and dive-shoving it
+    dict(
+        gait="walk",
+        default_vx=0.3,
+        scene="h1_push_crate",
+        pos_anchor_leash=0.4,
+        # measured over 500 steps (Hsample=32/Hnode=8/Nsample=2048): weight 3
+        # → crate +0.25 m, pelvis min 0.77; weight 6 → crate +0.45 m, pelvis
+        # min 0.86 — stronger crate reward also stabilizes (pushing posture
+        # beats lunging)
+        crate_vel_weight=6.0,
+    )
 )

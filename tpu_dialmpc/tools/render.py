@@ -28,8 +28,16 @@ def render_trajectory(
     camera_distance: float = 2.0,
     track_body: Optional[str] = None,
     max_frames: int = 2000,
+    tau: Optional[np.ndarray] = None,
 ) -> str:
     """Render a (T, nq) qpos trajectory of the named scene to MP4/GIF.
+
+    With `tau` (T, nu — per-actuator joint torques) each frame also draws an
+    arrow per actuated joint along the joint axis, green for positive /
+    red for negative torque, length scaled by |τ| relative to the
+    trajectory's max — the headless counterpart of the reference's RViz
+    per-joint torque markers (dial_mpc/src/control_sequence_visualizer.cpp,
+    ARROW markers color-coded by torque sign at the Go2 link positions).
 
     Returns the path actually written (the extension may change to .gif if
     no MP4 codec is available).  Frames beyond `max_frames` are dropped by
@@ -45,8 +53,19 @@ def render_trajectory(
     qpos = np.asarray(qpos)
     if qpos.ndim != 2 or qpos.shape[1] != m.nq:
         raise ValueError(f"qpos must be (T, {m.nq}), got {qpos.shape}")
+    if tau is not None:
+        tau = np.asarray(tau)
+        if tau.shape[0] != qpos.shape[0]:
+            raise ValueError(
+                f"tau must align with qpos: {tau.shape[0]} vs {qpos.shape[0]}"
+            )
     stride = max(1, int(np.ceil(qpos.shape[0] / max_frames)))
     qpos = qpos[::stride]
+    if tau is not None:
+        tau = tau[::stride]
+        # actuated hinge joints: arrow anchor/axis come from xanchor/xaxis
+        act_jnt = [int(m.actuator_trnid[i, 0]) for i in range(m.nu)]
+        tau_max = max(float(np.abs(tau).max()), 1e-9)
 
     cam = mujoco.MjvCamera()
     mujoco.mjv_defaultCamera(cam)
@@ -73,12 +92,53 @@ def render_trajectory(
             d.qpos[:] = qpos[t]
             mujoco.mj_forward(m, d)
             renderer.update_scene(d, camera=cam)
+            if tau is not None:
+                _add_torque_arrows(
+                    mujoco, renderer.scene, d, act_jnt, tau[t], tau_max
+                )
             frames.append(renderer.render().copy())
     finally:
         renderer.close()
 
     eff_fps = fps / stride
     return _encode(frames, out, eff_fps)
+
+
+def _add_torque_arrows(mujoco, scene, d, act_jnt, tau_t, tau_max):
+    """Append one arrow geom per actuated joint to an updated mjvScene.
+
+    Arrow base sits at the joint anchor, points along ±joint axis by torque
+    sign (green positive / red negative, the C21 marker convention), length
+    0.05–0.30 m proportional to |τ|/τ_max.
+    """
+    for k, j in enumerate(act_jnt):
+        if scene.ngeom >= scene.maxgeom:
+            break
+        t = float(tau_t[k])
+        frac = abs(t) / tau_max
+        if frac < 1e-3:
+            continue
+        anchor = d.xanchor[j]
+        axis = d.xaxis[j] * (1.0 if t >= 0 else -1.0)
+        tip = anchor + axis * (0.05 + 0.25 * frac)
+        g = scene.geoms[scene.ngeom]
+        rgba = (
+            np.array([0.1, 0.9, 0.1, 0.8], np.float32)
+            if t >= 0
+            else np.array([0.9, 0.1, 0.1, 0.8], np.float32)
+        )
+        mujoco.mjv_initGeom(
+            g,
+            mujoco.mjtGeom.mjGEOM_ARROW,
+            np.zeros(3),
+            np.zeros(3),
+            np.zeros(9),
+            rgba,
+        )
+        mujoco.mjv_connector(
+            g, mujoco.mjtGeom.mjGEOM_ARROW, 0.01, anchor, tip
+        )
+        scene.ngeom += 1
 
 
 def _encode(frames, out: str, fps: float) -> str:
