@@ -96,67 +96,3 @@ def test_act2tau_pd_golden():
     # saturation: a huge action must clip to the torque limit
     tau_sat = np.asarray(env.act2tau(jnp.full(12, 1.0) * 1.0, state.pipeline))
     assert np.all(tau_sat <= env.joint_torque_range[:, 1] + 1e-6)
-
-
-def test_h1_pos_anchor_leash():
-    """With a leash, pos_tar never leads the torso xy by more than the leash.
-
-    The anchor integrates vel_tar open-loop; h1_push_crate caps real progress
-    (30 kg crate), so an unleashed target runs away and its penalty dominates
-    the reward until the planner trades balance for lunging (envs/h1.py
-    pos_anchor_leash).  Step the env with zero actions (robot barely moves,
-    target marches at default_vx) and check the invariant.
-    """
-    import jax
-
-    from tpu_dialmpc.envs import get_env
-
-    env = get_env("h1_push_crate", fused="off", n_substeps=8)  # dt=0.02
-    assert env.config.pos_anchor_leash > 0.0
-    state = env.reset(jax.random.PRNGKey(0))
-    step = jax.jit(env.step)
-    leash = env.config.pos_anchor_leash
-    for _ in range(200):
-        state = step(state, jnp.zeros(env.action_size))
-    torso_xy = np.asarray(state.pipeline.qpos[:2])
-    lead = np.linalg.norm(np.asarray(state.info.pos_tar[:2]) - torso_xy)
-    assert lead <= leash + 1e-5, lead
-    # 4 s at vx=0.3 (1 s ramp) integrates ~1.05 m > the leash while the
-    # zero-action robot goes nowhere — the cap must be active
-    assert lead > 0.75 * leash, lead
-
-
-def test_h1_crate_velocity_reward_capped():
-    """The crate term rewards crate velocity, clipped at ±crate_vel_cap.
-
-    Compare _post_physics rewards on states that differ only in the crate
-    dof's velocity: below the cap the difference is linear in v·weight;
-    above it, extra speed earns nothing (the dive-shove defense)."""
-    import jax
-
-    from tpu_dialmpc.envs import get_env
-
-    env = get_env("h1_push_crate", fused="off", n_substeps=8)
-    w, cap = env.config.crate_vel_weight, env.config.crate_vel_cap
-    assert w > 0.0 and env._crate_dof is not None
-    state = env.reset(jax.random.PRNGKey(0))
-    step = jax.jit(env.step)
-    act = jnp.zeros(env.action_size)
-
-    def reward_with_crate_v(v):
-        ps = state.pipeline._replace(
-            qvel=state.pipeline.qvel.at[env._crate_dof].set(v)
-        )
-        # crate dof is decoupled from the robot within one step's contacts
-        # at reset (robot starts ~1 m away), so the crate velocity carries
-        # through the substeps minus friction-loss decay
-        return float(step(state._replace(pipeline=ps), act).reward)
-
-    r0 = reward_with_crate_v(0.0)
-    r_slow = reward_with_crate_v(0.1)
-    r_cap = reward_with_crate_v(cap * 4)
-    r_fast = reward_with_crate_v(cap * 8)
-    assert r_slow > r0  # pushing is rewarded
-    # beyond the cap extra crate speed contributes (almost) nothing more
-    # (not exactly zero: the crate moves further within the substeps)
-    assert r_fast - r_cap < 0.25 * w * cap, (r_fast, r_cap)

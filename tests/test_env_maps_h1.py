@@ -1,0 +1,86 @@
+"""H1 push-crate reward-shaping unit tests (envs/h1.py leash + crate term).
+
+Both exercise `_post_physics` directly — it is a pure function of
+(pipeline-derived quantities, info), so the anchor/crate logic can be pinned
+without stepping physics (the XLA-CPU compile of a full H1 contact step is
+~100 s; these compile in seconds)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_dialmpc.envs import get_env
+
+
+def _post_args(env, state):
+    ps = state.pipeline
+    b = env._torso_idx
+    return dict(
+        qpos=ps.qpos,
+        qvel=ps.qvel,
+        site_xpos=ps.site_xpos,
+        torso_xpos=ps.xpos[b],
+        torso_xquat=ps.xquat[b],
+        torso_cvel=ps.cvel[b],
+        root_com=ps.subtree_com[int(env.model.body_rootid[b])],
+        qfrc_actuator=ps.qfrc_actuator,
+        ctrl=jnp.zeros(env.action_size),
+    )
+
+
+def test_h1_pos_anchor_leash():
+    """With a leash, pos_tar never leads the torso xy by more than the leash.
+
+    The anchor integrates vel_tar open-loop; h1_push_crate caps real progress
+    (30 kg crate), so an unleashed target runs away and its penalty dominates
+    the reward until the planner trades balance for lunging (envs/h1.py
+    pos_anchor_leash).  Iterate the info update with the robot frozen in
+    place (the worst case: zero real progress while the target marches at
+    default_vx) and check the invariant at every step.
+    """
+    env = get_env("h1_push_crate", fused="off", n_substeps=8)  # dt=0.02
+    leash = env.config.pos_anchor_leash
+    assert leash > 0.0
+    state = env.reset(jax.random.PRNGKey(0))
+    args = _post_args(env, state)
+
+    def body(info, _):
+        _, _, info2 = env._post_physics(info=info, **args)
+        return info2, info2.pos_tar
+
+    # 400 control steps = 8 s; vx=0.3 with a 1 s ramp integrates ~2.25 m
+    _, pos_tars = jax.jit(
+        lambda info: jax.lax.scan(body, info, None, length=400)
+    )(state.info)
+    torso_xy = np.asarray(args["torso_xpos"][:2])
+    leads = np.linalg.norm(np.asarray(pos_tars)[:, :2] - torso_xy, axis=-1)
+    assert leads.max() <= leash + 1e-5, leads.max()
+    # the cap must actually be active by the end
+    assert leads[-1] > 0.95 * leash, leads[-1]
+
+
+def test_h1_crate_velocity_reward_capped():
+    """The crate term rewards crate velocity, clipped at ±crate_vel_cap.
+
+    Evaluate `_post_physics` on states differing only in the crate dof's
+    velocity: the reward difference must be exactly weight·clip(v, ±cap) —
+    linear below the cap (pushing is rewarded), flat above it (a dive-shove
+    velocity spike earns nothing extra)."""
+    env = get_env("h1_push_crate", fused="off", n_substeps=8)
+    w, cap = env.config.crate_vel_weight, env.config.crate_vel_cap
+    assert w > 0.0 and env._crate_dof is not None
+    state = env.reset(jax.random.PRNGKey(0))
+    args = _post_args(env, state)
+
+    @jax.jit
+    def reward_with_crate_v(v):
+        a = dict(args)
+        a["qvel"] = a["qvel"].at[env._crate_dof].set(v)
+        r, _, _ = env._post_physics(info=state.info, **a)
+        return r
+
+    r0 = float(reward_with_crate_v(0.0))
+    for v in (0.1, -0.1, cap, 2 * cap, 8 * cap, -3 * cap):
+        got = float(reward_with_crate_v(v)) - r0
+        want = w * float(np.clip(v, -cap, cap))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(v))
