@@ -22,11 +22,42 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax
 
-if os.environ.get("TPU_DIALMPC_TEST_TPU"):
+_TPU_MODE = bool(os.environ.get("TPU_DIALMPC_TEST_TPU"))
+if _TPU_MODE:
     # hardware mode: run the TPU-gated tests (test_quality_tpu, step_lean
-    # equality) on the real chip — everything else still passes, but the
-    # float64 oracle-parity tests are meant for the CPU default below
+    # equality) on the real chip; the float64/tight-tolerance oracle-parity
+    # modules below are skipped — their asserts are calibrated for the CPU
+    # x64 default and would fail on precision, not correctness
     jax.config.update("jax_enable_x64", False)
 else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+# modules whose tolerances assume float64 / the CPU backend
+_F64_ONLY_FILES = {
+    "test_smooth_dynamics.py",
+    "test_constrained_dynamics.py",
+    "test_reference_parity.py",
+    "test_rotations.py",
+    "test_spline.py",
+    "test_fused.py",  # eager-math parity vs the float64 XLA pipeline
+    "test_shard.py",
+    "test_shard_real_env.py",
+    "test_shard_fused_branch.py",
+    "test_distributed.py",  # spawns CPU subprocess meshes
+    "test_e2e.py",
+    "test_cost_dial.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _TPU_MODE:
+        return
+    import pytest
+
+    skip = pytest.mark.skip(
+        reason="float64/CPU-calibrated tolerances (TPU_DIALMPC_TEST_TPU=1)"
+    )
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _F64_ONLY_FILES:
+            item.add_marker(skip)

@@ -151,6 +151,59 @@ def cmd_plot(args):
     return 0
 
 
+def _executed_torques(env, data):
+    """Per-step executed joint torques (T, nu) from a saved trajectory.
+
+    `us[t]` was applied to the state BEFORE step t (runner.run appends the
+    post-step qpos with the pre-step action), so each action pairs with
+    (qpos[t-1], qvel[t-1]); the t=0 predecessor is the reset state, which is
+    keyframe-deterministic for every registered env.  In torque mode the
+    executed torque is the env's PD law; in position mode MuJoCo's
+    <position> actuator applies gain·target + affine bias internally, so the
+    same form is rebuilt from the model's gain/bias/forcerange params.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ps0 = env.reset(jax.random.PRNGKey(0)).pipeline
+    qpos_prev = np.concatenate(
+        [np.asarray(ps0.qpos)[None], np.asarray(data["qpos"])[:-1]]
+    )
+    qvel_prev = np.concatenate(
+        [np.asarray(ps0.qvel)[None], np.asarray(data["qvel"])[:-1]]
+    )
+    nu = env.action_size
+    qadr = getattr(env, "_act_qadr", None)
+    dadr = getattr(env, "_act_dadr", None)
+    qsel = (lambda q: q[qadr]) if qadr is not None else (lambda q: q[7 : 7 + nu])
+    dsel = (lambda v: v[dadr]) if dadr is not None else (lambda v: v[6 : 6 + nu])
+    if env.config.leg_control == "position":
+        m = env.model
+        gain = jnp.asarray(m.actuator_gainprm)
+        bias = jnp.asarray(m.actuator_biasprm)
+        fr = np.asarray(m.actuator_forcerange)
+        unlimited = np.all(np.abs(fr) < 1e-9, axis=1)
+        lo = jnp.asarray(np.where(unlimited, -np.inf, fr[:, 0]))
+        hi = jnp.asarray(np.where(unlimited, np.inf, fr[:, 1]))
+
+        def one(a, q, qd):
+            qj, qdj = qsel(q), dsel(qd)
+            target = env.act2joint(a)
+            force = gain * target + bias[:, 0] + bias[:, 1] * qj + bias[:, 2] * qdj
+            return jnp.clip(force, lo, hi)
+
+    else:
+
+        def one(a, q, qd):
+            return env._act2tau_qv(a, qsel(q), dsel(qd))
+
+    return np.asarray(
+        jax.vmap(lambda a, q, qd: one(jnp.asarray(a), jnp.asarray(q), jnp.asarray(qd)))(
+            data["us"], qpos_prev, qvel_prev
+        )
+    )
+
+
 def cmd_render(args):
     """Offscreen-render a saved trajectory to MP4/GIF (tools/render.py).
 
@@ -167,23 +220,7 @@ def cmd_render(args):
     fps = 1.0 / max(env.dt, 1e-9)
     tau = None
     if args.torques:
-        # recompute executed PD torques from the saved (us, qpos, qvel) via
-        # the env's act2tau — rendered as per-joint arrows (C21 equivalent)
-        import jax
-        import jax.numpy as jnp
-
-        nu = env.action_size
-        qadr = getattr(env, "_act_qadr", None)
-        dadr = getattr(env, "_act_dadr", None)
-        qsel = (lambda q: q[qadr]) if qadr is not None else (lambda q: q[7 : 7 + nu])
-        dsel = (lambda v: v[dadr]) if dadr is not None else (lambda v: v[6 : 6 + nu])
-        tau = np.asarray(
-            jax.vmap(
-                lambda a, q, qd: env._act2tau_qv(
-                    jnp.asarray(a), qsel(jnp.asarray(q)), dsel(jnp.asarray(qd))
-                )
-            )(data["us"], data["qpos"], data["qvel"])
-        )
+        tau = _executed_torques(env, data)
     written = render_trajectory(
         env.config.scene,
         data["qpos"],

@@ -114,10 +114,10 @@ class UnitreeH1Env(FusedRolloutMixin):
         self._act_dadr = np.array(self.model.actuator_dofadr)
         model_range = np.asarray(self.model.jnt_range)[self._act_jnt]
         # actuated-joint names (for per-group action authority)
-        import mujoco as _mjn
+        import mujoco as _mj
 
         self._act_jnt_names = [
-            _mjn.mj_id2name(mj, _mjn.mjtObj.mjOBJ_JOINT, int(j)) or ""
+            _mj.mj_id2name(mj, _mj.mjtObj.mjOBJ_JOINT, int(j)) or ""
             for j in self._act_jnt
         ]
         if config.joint_range_source == "centered":
@@ -160,8 +160,6 @@ class UnitreeH1Env(FusedRolloutMixin):
         # `z_site - r < 1e-3`, envs/go2.py): H1's foot sites sit at the
         # capsule sole, so the ground-contact site height is read off the
         # home keyframe instead of a sphere radius.
-        import mujoco as _mj
-
         _d = _mj.MjData(mj)
         _d.qpos[:] = self._init_q[: mj.nq]
         _mj.mj_forward(mj, _d)

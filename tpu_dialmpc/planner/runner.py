@@ -136,6 +136,11 @@ def run(
             state, Y0, key, _, t_ck = checkpoint.load(checkpoint_path, env)
             if not (t0 <= t_ck <= t):
                 raise  # stale checkpoint from a different run
+            if lean:
+                # match the jitted control step's traced structure — a full
+                # EnvState here would silently retrace/recompile the whole
+                # improve graph once per recovery (like the resume path above)
+                state = to_lean(state)
             # drop records past the checkpoint and replay from there
             del rewards[t_ck - t0:], dones[t_ck - t0:]
             del qpos_traj[t_ck - t0:], qvel_traj[t_ck - t0:], us_traj[t_ck - t0:]

@@ -55,9 +55,9 @@ def render_trajectory(
         raise ValueError(f"qpos must be (T, {m.nq}), got {qpos.shape}")
     if tau is not None:
         tau = np.asarray(tau)
-        if tau.shape[0] != qpos.shape[0]:
+        if tau.shape != (qpos.shape[0], m.nu):
             raise ValueError(
-                f"tau must align with qpos: {tau.shape[0]} vs {qpos.shape[0]}"
+                f"tau must be (T, nu) = ({qpos.shape[0]}, {m.nu}), got {tau.shape}"
             )
     stride = max(1, int(np.ceil(qpos.shape[0] / max_frames)))
     qpos = qpos[::stride]
