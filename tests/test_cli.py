@@ -1,0 +1,48 @@
+"""CLI config-resolution tests: registry dial defaults < YAML < flags.
+
+The reference hard-codes planner configs in each main()
+(dial-core-test.cpp:8-34); here the task registry binds validated planner
+defaults per task so `run --task X` executes the real workload."""
+
+import argparse
+
+from tpu_dialmpc.cli.main import _build
+from tpu_dialmpc.envs.registry import dial_defaults
+
+
+def _ns(**kw):
+    base = dict(
+        task="go2_stand",
+        config=None,
+        nsample=None,
+        hsample=None,
+        n_steps=None,
+        substeps=None,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_dial_defaults_per_family():
+    go2 = dial_defaults("go2_trot")
+    h1 = dial_defaults("h1_push_crate")
+    assert (go2["Hsample"], go2["Hnode"]) == (20, 5)
+    assert (h1["Hsample"], h1["Hnode"]) == (32, 8)  # biped lookahead
+    assert go2["Nsample"] == h1["Nsample"] == 2048
+
+
+def test_build_uses_registry_defaults_and_flag_overrides():
+    env, dial, task = _build(
+        _ns(task="h1_walk", nsample=64, n_steps=5, substeps=1)
+    )
+    assert task == "h1_walk"
+    assert (dial.Hsample, dial.Hnode) == (32, 8)  # from the registry
+    assert dial.Nsample == 64  # flag wins
+    assert dial.n_steps == 5
+    assert env.config.n_substeps == 1  # flag wins over the substepped default
+
+
+def test_registered_tasks_default_to_substepping():
+    env, dial, _ = _build(_ns(task="go2_stand"))
+    assert env.config.n_substeps == 8  # Q2 fixed by default
+    assert dial.Nsample == 2048 and dial.n_steps == 400

@@ -39,6 +39,17 @@ import jax as _jax_prec
 
 _jax_prec.config.update("jax_default_matmul_precision", "highest")
 
+# Hard platform override.  Remote-TPU shims (e.g. a sitecustomize registering
+# a tunneled PJRT plugin) may set the jax_platforms CONFIG at interpreter
+# start, which silently outranks a JAX_PLATFORMS env var set by the user —
+# and initializing the remote backend can block indefinitely when the tunnel
+# is unhealthy.  TPU_DIALMPC_PLATFORM wins over both because config.update
+# here runs after any sitecustomize and before any computation.
+if _os.environ.get("TPU_DIALMPC_PLATFORM"):
+    _jax_prec.config.update(
+        "jax_platforms", _os.environ["TPU_DIALMPC_PLATFORM"]
+    )
+
 # Persistent XLA compilation cache: the planner graphs are large (full physics
 # under vmap∘scan), so first-compile is expensive — cache it across processes.
 if not _os.environ.get("TPU_DIALMPC_NO_CACHE"):
@@ -54,7 +65,15 @@ if not _os.environ.get("TPU_DIALMPC_NO_CACHE"):
         # JAX_PLATFORMS is part of the tag: under a remote-TPU tunnel (axon)
         # CPU executables are AOT-compiled on the *service* host, whose CPU
         # differs from the local one — the two must not share cache entries.
-        feat = platform.machine() + _os.environ.get("JAX_PLATFORMS", "")
+        feat = (
+            platform.machine()
+            + _os.environ.get("JAX_PLATFORMS", "")
+            # the package-level override (above) changes the effective
+            # platform without touching JAX_PLATFORMS — it must partition
+            # the cache the same way (a remote-TPU tunnel AOT-compiles CPU
+            # executables on the service host's CPU)
+            + _os.environ.get("TPU_DIALMPC_PLATFORM", "")
+        )
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:

@@ -33,15 +33,19 @@ def _build(args):
     from tpu_dialmpc.envs import get_env
     from tpu_dialmpc.planner.dial import DialConfig
 
+    from tpu_dialmpc.envs.registry import dial_defaults
+
     env_overrides = {}
-    dial_kwargs = {}
     if args.config:
         cfg = _load_yaml(args.config)
+        task = cfg.get("task", args.task)
+        # registry task defaults < yaml dial section < explicit flags
+        dial_kwargs = dial_defaults(task)
         env_overrides.update(cfg.get("env", {}))
         dial_kwargs.update(cfg.get("dial", {}))
-        task = cfg.get("task", args.task)
     else:
         task = args.task
+        dial_kwargs = dial_defaults(task)
     if args.nsample:
         dial_kwargs["Nsample"] = args.nsample
     if args.hsample:

@@ -33,8 +33,41 @@ def list_envs():
     return sorted(_REGISTRY)
 
 
+# Per-task planner defaults (DialConfig kwargs), the counterpart of the
+# reference's in-main config blocks (dial-core-test.cpp:8-32).  The CLI
+# starts from these so `run --task X` executes the task's validated workload
+# (the envelopes test_quality_tpu.py pins) rather than toy DialConfig
+# defaults; YAML `dial:` sections and flags override field-by-field.
+_DIAL_COMMON = dict(
+    Nsample=2048,
+    Ndiffuse=2,
+    Ndiffuse_init=10,
+    temp_sample=0.05,
+    horizon_diffuse_factor=0.9,
+    traj_diffuse_factor=0.5,
+    ctrl_dt=0.02,
+    n_steps=400,
+)
+# quadruped: 0.4 s lookahead; biped: the passively-unstable pelvis needs
+# ~0.64 s (Hsample=32/Hnode=8) — see configs/h1_walk.yaml
+_GO2_DIAL = dict(_DIAL_COMMON, Hsample=20, Hnode=5)
+_H1_DIAL = dict(_DIAL_COMMON, Hsample=32, Hnode=8)
+
+
+def dial_defaults(name: str) -> dict:
+    """Planner (DialConfig) defaults for a registered task."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown task {name!r}; known: {sorted(_REGISTRY)}")
+    return dict(_H1_DIAL if name.startswith("h1") else _GO2_DIAL)
+
+
 def _go2(defaults):
     from tpu_dialmpc.envs.go2 import UnitreeGo2Env, UnitreeGo2EnvConfig
+
+    # registered tasks default to true substepping (ctrl_dt/timestep = 8);
+    # the reference's one-mj_step-per-control quirk Q2 stays reachable via
+    # get_env(name, n_substeps=1)
+    defaults.setdefault("n_substeps", 8)
 
     def factory(**overrides):
         cfg = dataclasses.replace(
@@ -47,6 +80,8 @@ def _go2(defaults):
 
 def _h1(defaults):
     from tpu_dialmpc.envs.h1 import UnitreeH1Env, UnitreeH1EnvConfig
+
+    defaults.setdefault("n_substeps", 8)  # see _go2
 
     def factory(**overrides):
         cfg = dataclasses.replace(UnitreeH1EnvConfig(**defaults), **overrides)
