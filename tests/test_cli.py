@@ -46,3 +46,29 @@ def test_registered_tasks_default_to_substepping():
     env, dial, _ = _build(_ns(task="go2_stand"))
     assert env.config.n_substeps == 8  # Q2 fixed by default
     assert dial.Nsample == 2048 and dial.n_steps == 400
+
+
+def test_register_env_custom_dial(recwarn):
+    """Externally registered tasks carry their own planner defaults; ones
+    registered without them warn and get the quadruped baseline."""
+    from tpu_dialmpc.envs.registry import _REGISTRY, register_env
+
+    try:
+        register_env("_test_biped", dial=dict(Hsample=40, Hnode=10))(
+            lambda **kw: None
+        )
+        assert dial_defaults("_test_biped")["Hsample"] == 40
+
+        register_env("_test_nodefaults")(lambda **kw: None)
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            d = dial_defaults("_test_nodefaults")
+        assert d["Hsample"] == 20 and len(w) == 1
+    finally:
+        _REGISTRY.pop("_test_biped", None)
+        _REGISTRY.pop("_test_nodefaults", None)
+        from tpu_dialmpc.envs.registry import _DIAL_DEFAULTS
+
+        _DIAL_DEFAULTS.pop("_test_biped", None)

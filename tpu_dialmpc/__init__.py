@@ -65,15 +65,17 @@ if not _os.environ.get("TPU_DIALMPC_NO_CACHE"):
         # JAX_PLATFORMS is part of the tag: under a remote-TPU tunnel (axon)
         # CPU executables are AOT-compiled on the *service* host, whose CPU
         # differs from the local one — the two must not share cache entries.
-        feat = (
-            platform.machine()
-            + _os.environ.get("JAX_PLATFORMS", "")
-            # the package-level override (above) changes the effective
-            # platform without touching JAX_PLATFORMS — it must partition
-            # the cache the same way (a remote-TPU tunnel AOT-compiles CPU
-            # executables on the service host's CPU)
-            + _os.environ.get("TPU_DIALMPC_PLATFORM", "")
+        # Partition by the EFFECTIVE platform selection: the jax_platforms
+        # CONFIG value covers all three sources — the env var, a shim's
+        # config.update at interpreter start, and the TPU_DIALMPC_PLATFORM
+        # override above.  (A remote-TPU tunnel AOT-compiles CPU executables
+        # on the service host's CPU, so tunnel and local runs must not share
+        # cache entries.)
+        _eff_platforms = (
+            getattr(_jax_prec.config, "jax_platforms", None)
+            or _os.environ.get("JAX_PLATFORMS", "")
         )
+        feat = platform.machine() + str(_eff_platforms)
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:

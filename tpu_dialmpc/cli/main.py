@@ -108,6 +108,10 @@ def cmd_run(args):
             qvel=np.asarray(res.qvel),
             us=np.asarray(res.us),
             dones=np.asarray(res.dones),
+            # predecessor of the first recorded step (reset state, or the
+            # resume checkpoint's) — us[0] was executed from here
+            qpos0=np.asarray(res.qpos0),
+            qvel0=np.asarray(res.qvel0),
         )
         print(f"trajectory saved to {args.out}")
     return 0
@@ -160,50 +164,42 @@ def _executed_torques(env, data):
 
     `us[t]` was applied to the state BEFORE step t (runner.run appends the
     post-step qpos with the pre-step action), so each action pairs with
-    (qpos[t-1], qvel[t-1]); the t=0 predecessor is the reset state, which is
-    keyframe-deterministic for every registered env.  In torque mode the
-    executed torque is the env's PD law; in position mode MuJoCo's
-    <position> actuator applies gain·target + affine bias internally, so the
-    same form is rebuilt from the model's gain/bias/forcerange params.
+    (qpos[t-1], qvel[t-1]); the t=0 predecessor is the saved qpos0/qvel0
+    (reset state, or the resume checkpoint's — present in npz files written
+    by `cli run --out`), falling back to the keyframe-deterministic reset
+    state for older files.  The action maps to ctrl via the env's own
+    mapping (PD torque or position target), and the actuator force is the
+    engine's mj_fwdActuation (smooth.actuator_force: gain·ctrl + affine
+    bias, force/ctrl ranges, gear) — exact for both leg-control modes.
     """
     import jax
     import jax.numpy as jnp
 
-    ps0 = env.reset(jax.random.PRNGKey(0)).pipeline
-    qpos_prev = np.concatenate(
-        [np.asarray(ps0.qpos)[None], np.asarray(data["qpos"])[:-1]]
-    )
-    qvel_prev = np.concatenate(
-        [np.asarray(ps0.qvel)[None], np.asarray(data["qvel"])[:-1]]
-    )
-    nu = env.action_size
-    qadr = getattr(env, "_act_qadr", None)
-    dadr = getattr(env, "_act_dadr", None)
-    qsel = (lambda q: q[qadr]) if qadr is not None else (lambda q: q[7 : 7 + nu])
-    dsel = (lambda v: v[dadr]) if dadr is not None else (lambda v: v[6 : 6 + nu])
-    if env.config.leg_control == "position":
-        m = env.model
-        gain = jnp.asarray(m.actuator_gainprm)
-        bias = jnp.asarray(m.actuator_biasprm)
-        fr = np.asarray(m.actuator_forcerange)
-        unlimited = np.all(np.abs(fr) < 1e-9, axis=1)
-        lo = jnp.asarray(np.where(unlimited, -np.inf, fr[:, 0]))
-        hi = jnp.asarray(np.where(unlimited, np.inf, fr[:, 1]))
+    from tpu_dialmpc.dynamics import smooth
 
-        def one(a, q, qd):
-            qj, qdj = qsel(q), dsel(qd)
-            target = env.act2joint(a)
-            force = gain * target + bias[:, 0] + bias[:, 1] * qj + bias[:, 2] * qdj
-            return jnp.clip(force, lo, hi)
-
+    if "qpos0" in data:
+        q0, v0 = data["qpos0"], data["qvel0"]
     else:
+        ps0 = env.reset(jax.random.PRNGKey(0)).pipeline
+        q0, v0 = np.asarray(ps0.qpos), np.asarray(ps0.qvel)
+    qpos_prev = np.concatenate([q0[None], np.asarray(data["qpos"])[:-1]])
+    qvel_prev = np.concatenate([v0[None], np.asarray(data["qvel"])[:-1]])
+    model = env.model
+    dofadr = np.asarray(model.actuator_dofadr)
 
-        def one(a, q, qd):
-            return env._act2tau_qv(a, qsel(q), dsel(qd))
+    @jax.jit
+    def all_tau(us, qpos, qvel):
+        ctrl = env._ctrl_batch(us, qpos, qvel)
+        qfrc = jax.vmap(
+            lambda c, q, qd: smooth.actuator_force(model, c, q, qd)
+        )(ctrl, qpos, qvel)
+        return qfrc[:, dofadr]
 
     return np.asarray(
-        jax.vmap(lambda a, q, qd: one(jnp.asarray(a), jnp.asarray(q), jnp.asarray(qd)))(
-            data["us"], qpos_prev, qvel_prev
+        all_tau(
+            jnp.asarray(data["us"], jnp.float32),
+            jnp.asarray(qpos_prev, jnp.float32),
+            jnp.asarray(qvel_prev, jnp.float32),
         )
     )
 

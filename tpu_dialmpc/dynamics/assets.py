@@ -9,6 +9,13 @@ physics is unaffected.
 Scene paths resolve against `TPU_DIALMPC_ASSETS` (else the conventional
 `/root/reference/models` checkout).  `compile_model` output can be cached to
 .npz so the runtime never needs the MJCF tree at all.
+
+Coverage: every `mjx_scene_*` file — the ones the reference executables
+hard-code (dial-core-test.cpp:34) and the upstream task suite consumes — is
+registered below and compiles.  The non-MJX display scenes (`scene.xml`,
+`scene_real_feet.xml`, ...) carry cylinder collision geoms our narrowphase
+does not implement; `compile_model` rejects them with an explicit
+NotImplementedError rather than silently dropping contacts.
 """
 
 from __future__ import annotations

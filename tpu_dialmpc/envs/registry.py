@@ -12,11 +12,22 @@ import dataclasses
 from typing import Callable, Dict
 
 _REGISTRY: Dict[str, Callable[[], object]] = {}
+_DIAL_DEFAULTS: Dict[str, dict] = {}
 
 
-def register_env(name: str):
+def register_env(name: str, dial: dict | None = None):
+    """Register a task factory, optionally with its planner defaults.
+
+    `dial` is a DialConfig kwargs dict (see `dial_defaults`); tasks
+    registered without one fall back to the conservative quadruped defaults
+    with a warning, since a wrong lookahead can silently make a task fail
+    (a biped needs ~0.64 s; the quadruped default is 0.4 s).
+    """
+
     def deco(factory):
         _REGISTRY[name] = factory
+        if dial is not None:
+            _DIAL_DEFAULTS[name] = dict(dial)
         return factory
 
     return deco
@@ -55,10 +66,25 @@ _H1_DIAL = dict(_DIAL_COMMON, Hsample=32, Hnode=8)
 
 
 def dial_defaults(name: str) -> dict:
-    """Planner (DialConfig) defaults for a registered task."""
+    """Planner (DialConfig) defaults for a registered task.
+
+    Stored per entry at registration (not inferred from the name) so
+    externally registered tasks can't silently inherit the wrong planner
+    family; entries registered without dial defaults get the quadruped
+    baseline with a warning.
+    """
     if name not in _REGISTRY:
         raise KeyError(f"unknown task {name!r}; known: {sorted(_REGISTRY)}")
-    return dict(_H1_DIAL if name.startswith("h1") else _GO2_DIAL)
+    if name not in _DIAL_DEFAULTS:
+        import warnings
+
+        warnings.warn(
+            f"task {name!r} registered without planner defaults; using the "
+            "quadruped baseline (Hsample=20/Hnode=5) — pass dial= to "
+            "register_env if the task needs a different lookahead"
+        )
+        return dict(_GO2_DIAL)
+    return dict(_DIAL_DEFAULTS[name])
 
 
 def _go2(defaults):
@@ -149,3 +175,18 @@ _REGISTRY["h1_push_crate"] = _h1(
         crate_vel_weight=6.0,
     )
 )
+
+# Planner-family assignment is explicit per entry (dial_defaults reads this
+# mapping, never the task name).
+for _n in (
+    "go2_stand",
+    "go2_trot",
+    "go2_walk",
+    "go2_canter",
+    "go2_gallop",
+    "go2_trot_position",
+    "go2_crate",
+):
+    _DIAL_DEFAULTS[_n] = dict(_GO2_DIAL)
+for _n in ("h1_walk", "h1_loco", "h1_push_crate"):
+    _DIAL_DEFAULTS[_n] = dict(_H1_DIAL)

@@ -39,6 +39,12 @@ class RunResult(NamedTuple):
     us: jnp.ndarray  # (n_steps, nu) executed controls
     final_state: EnvState
     final_Y0: jnp.ndarray
+    # state PRECEDING the first recorded step (reset state, or the resume
+    # checkpoint's): us[0] was executed from here.  Consumers pairing
+    # actions with states (cli render --torques) need it because qpos[t]
+    # is post-step.
+    qpos0: jnp.ndarray | None = None
+    qvel0: jnp.ndarray | None = None
 
 
 def make_control_step(mbdpi: MBDPI, n_diffuse: int):
@@ -101,6 +107,8 @@ def run(
         Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size), state.obs.dtype)
         Y0 = jax.jit(mbdpi.reverse)(state, Y0, warm_key)
         t0 = 0
+
+    qpos0, qvel0 = state.pipeline.qpos, state.pipeline.qvel
 
     step_init = make_control_step(mbdpi, cfg.Ndiffuse_init)
     step_rest = make_control_step(mbdpi, cfg.Ndiffuse)
@@ -169,6 +177,8 @@ def run(
         us=jnp.stack(us_traj),
         final_state=state,
         final_Y0=Y0,
+        qpos0=qpos0,
+        qvel0=qvel0,
     )
 
 
@@ -223,6 +233,7 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
         )
         return state, Y0, stacked
 
+    qpos0, qvel0 = state.pipeline.qpos, state.pipeline.qvel
     state, Y0, (rewards, dones, qpos, qvel, us) = full_run(state, Y0, key)
     return RunResult(
         rewards=rewards,
@@ -232,4 +243,6 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
         us=us,
         final_state=state,
         final_Y0=Y0,
+        qpos0=qpos0,
+        qvel0=qvel0,
     )
