@@ -84,3 +84,38 @@ def test_h1_crate_velocity_reward_capped():
         got = float(reward_with_crate_v(v)) - r0
         want = w * float(np.clip(v, -cap, cap))
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(v))
+
+
+def test_h1_crate_anchor_mode():
+    """pos_anchor_mode="crate": the target tracks the crate minus standoff.
+
+    Walking past the crate is then penalized (the target stays at the
+    crate), and the target advances exactly as fast as the crate is
+    pushed."""
+    env = get_env(
+        "h1_push_crate",
+        fused="off",
+        n_substeps=8,
+        pos_anchor_mode="crate",
+        pos_anchor_leash=0.0,
+    )
+    assert env._crate_qadr is not None
+    state = env.reset(jax.random.PRNGKey(0))
+    args = _post_args(env, state)
+    standoff = env.config.crate_standoff
+
+    @jax.jit
+    def target_for_crate_x(x):
+        a = dict(args)
+        a["qpos"] = a["qpos"].at[env._crate_qadr].set(x)
+        _, _, info2 = env._post_physics(info=state.info, **a)
+        return info2.pos_tar
+
+    for cx in (1.0, 1.5, 2.3):
+        tar = np.asarray(target_for_crate_x(cx))
+        np.testing.assert_allclose(tar[0], cx - standoff, atol=1e-6)
+        np.testing.assert_allclose(tar[1], 0.0, atol=1e-6)
+    # height target untouched
+    np.testing.assert_allclose(
+        np.asarray(target_for_crate_x(1.0))[2], env.config.pos_tar_z, atol=1e-6
+    )

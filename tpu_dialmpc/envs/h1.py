@@ -87,6 +87,17 @@ class UnitreeH1EnvConfig:
     # scene has an unactuated slide joint (the crate's dof).
     crate_vel_weight: float = 0.0
     crate_vel_cap: float = 0.3
+    # Anchor mode: "integrate" marches pos_tar by vel_tar open-loop (leashed
+    # above); "crate" anchors it to the crate's own position minus
+    # crate_standoff — the target then advances exactly as fast as the crate
+    # is actually pushed, walking past/around the crate is penalized (the
+    # target stays at the crate), and no leash is needed (the error is
+    # bounded by geometry).  Requires a crate dof; falls back to "integrate"
+    # without one.
+    pos_anchor_mode: str = "integrate"
+    # torso-to-crate-center distance held in "crate" mode: 0.6 (box half
+    # extent) + ~0.15 torso standoff behind the near face
+    crate_standoff: float = 0.75
 
 
 class UnitreeH1Env(FusedRolloutMixin):
@@ -172,12 +183,17 @@ class UnitreeH1Env(FusedRolloutMixin):
 
         act_dofs = {int(d) for d in self.model.actuator_dofadr}
         free_slides = [
-            int(self.model.jnt_dofadr[j])
+            j
             for j in range(self.model.njnt)
             if int(self.model.jnt_type[j]) == JNT_SLIDE
             and int(self.model.jnt_dofadr[j]) not in act_dofs
         ]
-        self._crate_dof = free_slides[0] if free_slides else None
+        if free_slides:
+            self._crate_dof = int(self.model.jnt_dofadr[free_slides[0]])
+            self._crate_qadr = int(self.model.jnt_qposadr[free_slides[0]])
+        else:
+            self._crate_dof = None
+            self._crate_qadr = None
 
     @property
     def action_size(self) -> int:
@@ -352,10 +368,21 @@ class UnitreeH1Env(FusedRolloutMixin):
         z_torso = torso_xpos[2]
         reward_height = -((z_torso - info.pos_tar[2]) ** 2)
 
-        # integrate the position target by the commanded velocity and anchor
-        # the torso xy to it (see pos_anchor_weight in the config)
-        pos_tar = info.pos_tar + vel_tar * jnp.asarray(self.dt, dtype)
-        if cfg.pos_anchor_leash > 0.0:
+        # position-anchor target (see pos_anchor_mode in the config): either
+        # anchored to the crate minus a standoff, or integrated open-loop by
+        # the commanded velocity
+        if cfg.pos_anchor_mode == "crate" and self._crate_qadr is not None:
+            pos_tar = jnp.stack(
+                [
+                    qpos[self._crate_qadr]
+                    - jnp.asarray(cfg.crate_standoff, dtype),
+                    jnp.asarray(0.0, dtype),
+                    info.pos_tar[2],
+                ]
+            )
+        else:
+            pos_tar = info.pos_tar + vel_tar * jnp.asarray(self.dt, dtype)
+        if cfg.pos_anchor_mode != "crate" and cfg.pos_anchor_leash > 0.0:
             err = pos_tar[:2] - torso_xpos[:2]
             n = jnp.sqrt(jnp.sum(err**2))
             scale = jnp.minimum(
