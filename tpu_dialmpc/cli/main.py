@@ -257,6 +257,20 @@ def cmd_replay(args):
     import jax
 
     state = env.reset(jax.random.PRNGKey(0))
+    if "qpos0" in data:
+        # us[0] was executed from the saved predecessor state (the resume
+        # checkpoint's, on resumed runs) — replay from there, not the reset
+        # keyframe
+        from tpu_dialmpc.dynamics import pipeline as _pipeline
+
+        dtype = state.pipeline.qpos.dtype
+        state = state._replace(
+            pipeline=_pipeline.init(
+                env.model,
+                jnp.asarray(data["qpos0"], dtype),
+                jnp.asarray(data["qvel0"], dtype),
+            )
+        )
     step = jax.jit(env.step)
     drift = []
     for t in range(data["us"].shape[0]):
