@@ -168,7 +168,52 @@ def run_roofline(task="go2_stand", nsample=2048, hsample=20, n_substeps=8):
     }
 
 
+def _backend_probe_ok(timeout_s: float = 240.0) -> bool:
+    """Probe JAX backend init in a subprocess with a hard timeout.
+
+    A tunneled-TPU claim can block indefinitely inside make_c_api_client
+    when the tile is wedged (e.g. a previous holder died mid-session); an
+    in-process hang would leave no bench artifact at all.  The subprocess
+    is killed as a group on timeout so no waiter lingers.
+    """
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    p = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import jax, jax.numpy as jnp; "
+            "assert float(jnp.ones(2).sum()) == 2.0",
+        ],
+        start_new_session=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        return p.wait(timeout=timeout_s) == 0
+    except subprocess.TimeoutExpired:
+        os.killpg(p.pid, signal.SIGKILL)
+        return False
+
+
 if __name__ == "__main__":
+    if not _backend_probe_ok():
+        print(
+            json.dumps(
+                {
+                    "metric": "go2_stand_reverse_once_ms_N2048_H20_sub8",
+                    "value": -1.0,
+                    "unit": "ms/iteration",
+                    "vs_baseline": 0.0,
+                    "error": "backend init hung >240s (wedged TPU tunnel "
+                    "claim) — no measurement possible this run",
+                }
+            )
+        )
+        raise SystemExit(0)
     headline = run_bench()
     extra = []
     for fn in (
