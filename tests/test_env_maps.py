@@ -96,3 +96,23 @@ def test_act2tau_pd_golden():
     # saturation: a huge action must clip to the torque limit
     tau_sat = np.asarray(env.act2tau(jnp.full(12, 1.0) * 1.0, state.pipeline))
     assert np.all(tau_sat <= env.joint_torque_range[:, 1] + 1e-6)
+
+
+def test_sample_command_bounds_and_structure():
+    """C10e (unitree-go2-env.h:740-753): uniform resample of
+    (vx ±1.5, vy ±0.5, vyaw ±1.5); vz and roll/pitch rates stay zero."""
+    import jax
+
+    env = get_env("go2_stand")
+    vels, angs = [], []
+    for s in range(50):
+        v, a = env.sample_command(jax.random.PRNGKey(s))
+        v, a = np.asarray(v), np.asarray(a)
+        assert v[2] == 0.0 and a[0] == 0.0 and a[1] == 0.0
+        vels.append(v)
+        angs.append(a)
+    vels, angs = np.stack(vels), np.stack(angs)
+    assert np.all(np.abs(vels[:, 0]) <= 1.5) and np.all(np.abs(vels[:, 1]) <= 0.5)
+    assert np.all(np.abs(angs[:, 2]) <= 1.5)
+    # actually spans the range (not degenerate)
+    assert vels[:, 0].max() > 0.75 and vels[:, 0].min() < -0.75
