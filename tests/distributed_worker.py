@@ -20,6 +20,7 @@ port, pid, nproc, out = (
     int(sys.argv[3]),
     sys.argv[4],
 )
+env_kind = sys.argv[5] if len(sys.argv) > 5 else "stub"
 
 import jax
 
@@ -51,11 +52,21 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 cfg = DialConfig(Hsample=6, Hnode=2, Nsample=16, ctrl_dt=0.02, temp_sample=0.1)
-env = StubFusedEnv(fused=False)
+if env_kind == "go2":
+    # real contact physics: the collectives reduce genuinely state-dependent
+    # rewards, not the stub's linear dynamics
+    from tpu_dialmpc.envs import get_env  # noqa: E402
+
+    env = get_env("go2_stand", n_substeps=1, dtype="float64", fused="off")
+    state = env.reset(jax.random.PRNGKey(0))
+    nu = env.action_size
+else:
+    env = StubFusedEnv(fused=False)
+    state = env.reset()
+    nu = env.nu
 planner = ShardedMBDPI(cfg, env, mesh)
-state = env.reset()
 Ybar = jnp.asarray(
-    np.random.default_rng(0).uniform(-0.5, 0.5, (cfg.Hnode + 1, env.nu))
+    np.random.default_rng(0).uniform(-0.5, 0.5, (cfg.Hnode + 1, nu))
 )
 scale = jnp.full(cfg.Hnode + 1, 0.3)
 

@@ -32,7 +32,8 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_distributed_reverse_once(tmp_path):
+@pytest.mark.parametrize("env_kind", ["stub", "go2"])
+def test_two_process_distributed_reverse_once(tmp_path, env_kind):
     nproc = 2
     port = _free_port()
     env_base = dict(os.environ)
@@ -47,7 +48,15 @@ def test_two_process_distributed_reverse_once(tmp_path):
         outs.append(out)
         procs.append(
             subprocess.Popen(
-                [sys.executable, _WORKER, str(port), str(pid), str(nproc), out],
+                [
+                    sys.executable,
+                    _WORKER,
+                    str(port),
+                    str(pid),
+                    str(nproc),
+                    out,
+                    env_kind,
+                ],
                 env=env_base,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -57,7 +66,7 @@ def test_two_process_distributed_reverse_once(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=600)
+            stdout, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -70,14 +79,23 @@ def test_two_process_distributed_reverse_once(tmp_path):
     cfg = DialConfig(
         Hsample=6, Hnode=2, Nsample=16, ctrl_dt=0.02, temp_sample=0.1
     )
-    env = StubFusedEnv(fused=False)
+    if env_kind == "go2":
+        from tpu_dialmpc.envs import get_env
+
+        env = get_env("go2_stand", n_substeps=1, dtype="float64", fused="off")
+        state = env.reset(jax.random.PRNGKey(0))
+        nu = env.action_size
+    else:
+        env = StubFusedEnv(fused=False)
+        state = env.reset()
+        nu = env.nu
     mbdpi = MBDPI(cfg, env)
     Ybar = jnp.asarray(
-        np.random.default_rng(0).uniform(-0.5, 0.5, (cfg.Hnode + 1, env.nu))
+        np.random.default_rng(0).uniform(-0.5, 0.5, (cfg.Hnode + 1, nu))
     )
     scale = jnp.full(cfg.Hnode + 1, 0.3)
     want_y, want_info = mbdpi.reverse_once(
-        env.reset(), jax.random.PRNGKey(7), Ybar, scale
+        state, jax.random.PRNGKey(7), Ybar, scale
     )
 
     for out, log in zip(outs, logs):
