@@ -109,9 +109,15 @@ def cmd_run(args):
             us=np.asarray(res.us),
             dones=np.asarray(res.dones),
             # predecessor of the first recorded step (reset state, or the
-            # resume checkpoint's) — us[0] was executed from here
+            # resume checkpoint's) — us[0] was executed from here.  The
+            # warmstart matters for exact replay: the truncated Newton
+            # solver's starting point is observable, and a checkpoint's is
+            # nonzero.  dt is the control period the run actually used —
+            # `cli render` must not re-derive it from flags.
             qpos0=np.asarray(res.qpos0),
             qvel0=np.asarray(res.qvel0),
+            warmstart0=np.asarray(res.warmstart0),
+            dt=float(env.dt),
         )
         print(f"trajectory saved to {args.out}")
     return 0
@@ -170,7 +176,11 @@ def _executed_torques(env, data):
     state for older files.  The action maps to ctrl via the env's own
     mapping (PD torque or position target), and the actuator force is the
     engine's mj_fwdActuation (smooth.actuator_force: gain·ctrl + affine
-    bias, force/ctrl ranges, gear) — exact for both leg-control modes.
+    bias, force/ctrl ranges, gear).  Torque mode is exact (ctrl IS the
+    applied force, constant over the control step); position mode is the
+    start-of-step servo force kp·(ctrl−q)−kv·qd — with substepping the
+    servo force then drifts as q evolves within the step, so arrows show
+    the instantaneous torque at step entry, not the substep mean.
     """
     import jax
     import jax.numpy as jnp
@@ -217,7 +227,12 @@ def cmd_render(args):
     data = np.load(args.trajectory)
     env, dial_cfg, _ = _build(args)
     out = args.out or (args.trajectory.rsplit(".", 1)[0] + ".mp4")
-    fps = 1.0 / max(env.dt, 1e-9)
+    # prefer the recording's own control period (saved by `run --out`): the
+    # rebuilt env's dt follows current flags/registry defaults, which need
+    # not match how the trajectory was recorded (e.g. a --substeps 1 run
+    # rendered later with defaults would play 8x off)
+    dt = float(data["dt"]) if "dt" in data else env.dt
+    fps = 1.0 / max(dt, 1e-9)
     tau = None
     if args.torques:
         tau = _executed_torques(env, data)
@@ -264,13 +279,19 @@ def cmd_replay(args):
         from tpu_dialmpc.dynamics import pipeline as _pipeline
 
         dtype = state.pipeline.qpos.dtype
-        state = state._replace(
-            pipeline=_pipeline.init(
-                env.model,
-                jnp.asarray(data["qpos0"], dtype),
-                jnp.asarray(data["qvel0"], dtype),
-            )
+        ps = _pipeline.init(
+            env.model,
+            jnp.asarray(data["qpos0"], dtype),
+            jnp.asarray(data["qvel0"], dtype),
         )
+        if "warmstart0" in data:
+            # pipeline.init deliberately zeroes qacc_warmstart; a resumed
+            # run's predecessor carries the checkpoint's, and the truncated
+            # Newton solve is sensitive to its starting point
+            ps = ps._replace(
+                qacc_warmstart=jnp.asarray(data["warmstart0"], dtype)
+            )
+        state = state._replace(pipeline=ps)
     step = jax.jit(env.step)
     drift = []
     for t in range(data["us"].shape[0]):

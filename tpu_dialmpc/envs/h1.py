@@ -371,7 +371,10 @@ class UnitreeH1Env(FusedRolloutMixin):
         # position-anchor target (see pos_anchor_mode in the config): either
         # anchored to the crate minus a standoff, or integrated open-loop by
         # the commanded velocity
-        if cfg.pos_anchor_mode == "crate" and self._crate_qadr is not None:
+        crate_anchored = (
+            cfg.pos_anchor_mode == "crate" and self._crate_qadr is not None
+        )
+        if crate_anchored:
             pos_tar = jnp.stack(
                 [
                     qpos[self._crate_qadr]
@@ -382,7 +385,11 @@ class UnitreeH1Env(FusedRolloutMixin):
             )
         else:
             pos_tar = info.pos_tar + vel_tar * jnp.asarray(self.dt, dtype)
-        if cfg.pos_anchor_mode != "crate" and cfg.pos_anchor_leash > 0.0:
+        # leash gates on the branch that actually ran: mode="crate" on a
+        # crate-free scene falls back to the open-loop integrator above,
+        # which is exactly the case an explicitly configured leash must
+        # bound (the crate anchor is self-bounding, so it skips the leash)
+        if not crate_anchored and cfg.pos_anchor_leash > 0.0:
             err = pos_tar[:2] - torso_xpos[:2]
             n = jnp.sqrt(jnp.sum(err**2))
             scale = jnp.minimum(

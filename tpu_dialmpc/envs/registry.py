@@ -116,30 +116,40 @@ def _h1(defaults):
     return factory
 
 
+def _register(name: str, factory, dial: dict):
+    """One registration = env factory + planner family, atomically.
+
+    Keeping both bindings in a single call (instead of a separate
+    name→defaults list) means a new task cannot get an env entry while
+    silently inheriting the wrong planner lookahead."""
+    _REGISTRY[name] = factory
+    _DIAL_DEFAULTS[name] = dict(dial)
+
+
 # Go2 tasks.  "go2_stand" mirrors the reference benchmark config
 # (dial-core-test.cpp:8-32: gait=stand, vx=0.8, kp=30, kd=0.65, torque mode).
-_REGISTRY["go2_stand"] = _go2(
+_register("go2_stand", _go2(
     dict(gait="stand", default_vx=0.8, kp=30.0, kd=0.65, leg_control="torque")
-)
-_REGISTRY["go2_trot"] = _go2(
+), _GO2_DIAL)
+_register("go2_trot", _go2(
     dict(gait="trot", default_vx=0.8, kp=30.0, kd=0.65, leg_control="torque")
-)
-_REGISTRY["go2_walk"] = _go2(
+), _GO2_DIAL)
+_register("go2_walk", _go2(
     dict(gait="walk", default_vx=0.5, kp=30.0, kd=0.65, leg_control="torque")
-)
-_REGISTRY["go2_canter"] = _go2(
+), _GO2_DIAL)
+_register("go2_canter", _go2(
     dict(gait="canter", default_vx=1.0, kp=30.0, kd=0.65, leg_control="torque")
-)
-_REGISTRY["go2_gallop"] = _go2(
+), _GO2_DIAL)
+_register("go2_gallop", _go2(
     dict(gait="gallop", default_vx=1.2, kp=30.0, kd=0.65, leg_control="torque")
-)
+), _GO2_DIAL)
 # Position leg-control over the <position kp=30 kv=0.65> actuator model
 # (models/unitree_go2/mjx_go2_position.xml:16-34): the env writes joint
 # targets into ctrl and the model's servo closes the loop.
-_REGISTRY["go2_trot_position"] = _go2(
+_register("go2_trot_position", _go2(
     dict(gait="trot", default_vx=0.8, leg_control="position", scene="go2_position")
-)
-_REGISTRY["go2_crate"] = _go2(
+), _GO2_DIAL)
+_register("go2_crate", _go2(
     dict(
         gait="trot",
         default_vx=0.5,
@@ -148,16 +158,16 @@ _REGISTRY["go2_crate"] = _go2(
         leg_control="torque",
         scene="go2_force_crate",
     )
-)
+), _GO2_DIAL)
 
 # H1 tasks (scene inventory only in the reference; SURVEY §2.4).
-_REGISTRY["h1_walk"] = _h1(
+_register("h1_walk", _h1(
     dict(gait="walk", default_vx=0.5, scene="h1_walk")
-)
-_REGISTRY["h1_loco"] = _h1(
+), _H1_DIAL)
+_register("h1_loco", _h1(
     dict(gait="walk", default_vx=0.5, scene="h1_loco")
-)
-_REGISTRY["h1_push_crate"] = _h1(
+), _H1_DIAL)
+_register("h1_push_crate", _h1(
     # the 30 kg crate caps push speed below default_vx; the anchor leash
     # (envs/h1.py pos_anchor_leash) keeps the blocked-progress penalty
     # bounded so the planner doesn't trade balance for lunging, and the
@@ -174,19 +184,4 @@ _REGISTRY["h1_push_crate"] = _h1(
         # beats lunging)
         crate_vel_weight=6.0,
     )
-)
-
-# Planner-family assignment is explicit per entry (dial_defaults reads this
-# mapping, never the task name).
-for _n in (
-    "go2_stand",
-    "go2_trot",
-    "go2_walk",
-    "go2_canter",
-    "go2_gallop",
-    "go2_trot_position",
-    "go2_crate",
-):
-    _DIAL_DEFAULTS[_n] = dict(_GO2_DIAL)
-for _n in ("h1_walk", "h1_loco", "h1_push_crate"):
-    _DIAL_DEFAULTS[_n] = dict(_H1_DIAL)
+), _H1_DIAL)

@@ -42,9 +42,13 @@ class RunResult(NamedTuple):
     # state PRECEDING the first recorded step (reset state, or the resume
     # checkpoint's): us[0] was executed from here.  Consumers pairing
     # actions with states (cli render --torques) need it because qpos[t]
-    # is post-step.
+    # is post-step.  warmstart0 is its qacc_warmstart: the truncated-Newton
+    # solver's starting point is observable (dynamics/pipeline.py), so an
+    # exact replay of a resumed run must restore it too (it is zero after a
+    # reset but generally nonzero in a checkpoint).
     qpos0: jnp.ndarray | None = None
     qvel0: jnp.ndarray | None = None
+    warmstart0: jnp.ndarray | None = None
 
 
 def make_control_step(mbdpi: MBDPI, n_diffuse: int):
@@ -109,6 +113,7 @@ def run(
         t0 = 0
 
     qpos0, qvel0 = state.pipeline.qpos, state.pipeline.qvel
+    warmstart0 = state.pipeline.qacc_warmstart
 
     step_init = make_control_step(mbdpi, cfg.Ndiffuse_init)
     step_rest = make_control_step(mbdpi, cfg.Ndiffuse)
@@ -179,6 +184,7 @@ def run(
         final_Y0=Y0,
         qpos0=qpos0,
         qvel0=qvel0,
+        warmstart0=warmstart0,
     )
 
 
@@ -234,6 +240,7 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
         return state, Y0, stacked
 
     qpos0, qvel0 = state.pipeline.qpos, state.pipeline.qvel
+    warmstart0 = state.pipeline.qacc_warmstart
     state, Y0, (rewards, dones, qpos, qvel, us) = full_run(state, Y0, key)
     return RunResult(
         rewards=rewards,
@@ -245,4 +252,5 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
         final_Y0=Y0,
         qpos0=qpos0,
         qvel0=qvel0,
+        warmstart0=warmstart0,
     )

@@ -41,7 +41,8 @@ def render_trajectory(
 
     Returns the path actually written (the extension may change to .gif if
     no MP4 codec is available).  Frames beyond `max_frames` are dropped by
-    striding so pathological trajectory lengths can't OOM the host.
+    striding, and frames stream into the encoder one at a time, so
+    pathological trajectory lengths or resolutions can't OOM the host.
     """
     os.environ.setdefault("MUJOCO_GL", "egl")
     import mujoco
@@ -53,6 +54,8 @@ def render_trajectory(
     qpos = np.asarray(qpos)
     if qpos.ndim != 2 or qpos.shape[1] != m.nq:
         raise ValueError(f"qpos must be (T, {m.nq}), got {qpos.shape}")
+    if qpos.shape[0] == 0:
+        raise ValueError("empty trajectory: qpos has 0 steps")
     if tau is not None:
         tau = np.asarray(tau)
         if tau.shape != (qpos.shape[0], m.nu):
@@ -86,7 +89,7 @@ def render_trajectory(
     cam.azimuth = 135.0
 
     renderer = mujoco.Renderer(m, height, width)
-    frames = []
+    writer = _open_writer(out, fps / stride, width, height)
     try:
         for t in range(qpos.shape[0]):
             d.qpos[:] = qpos[t]
@@ -96,12 +99,18 @@ def render_trajectory(
                 _add_torque_arrows(
                     mujoco, renderer.scene, d, act_jnt, tau[t], tau_max
                 )
-            frames.append(renderer.render().copy())
+            writer.add(renderer.render())
+    except BaseException:
+        # don't leave a truncated video behind on a failed render
+        try:
+            writer.close()
+        finally:
+            if os.path.exists(writer.path):
+                os.unlink(writer.path)
+        raise
     finally:
         renderer.close()
-
-    eff_fps = fps / stride
-    return _encode(frames, out, eff_fps)
+    return writer.close()
 
 
 def _add_torque_arrows(mujoco, scene, d, act_jnt, tau_t, tau_max):
@@ -141,26 +150,63 @@ def _add_torque_arrows(mujoco, scene, d, act_jnt, tau_t, tau_max):
         scene.ngeom += 1
 
 
-def _encode(frames, out: str, fps: float) -> str:
-    """MP4 via OpenCV if a codec is available, else GIF via imageio."""
+class _Mp4Writer:
+    """Streaming MP4 encoder (OpenCV): one frame in flight, constant memory."""
+
+    def __init__(self, path: str, fps: float, width: int, height: int):
+        import cv2
+
+        self._cv2 = cv2
+        self.path = path
+        self._vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height)
+        )
+        if not self._vw.isOpened():
+            self._vw.release()
+            raise RuntimeError("OpenCV has no usable MP4 codec here")
+
+    def add(self, frame):
+        self._vw.write(self._cv2.cvtColor(frame, self._cv2.COLOR_RGB2BGR))
+
+    def close(self) -> str:
+        self._vw.release()
+        return self.path
+
+
+class _GifWriter:
+    """Streaming GIF encoder (imageio appending writer)."""
+
+    def __init__(self, path: str, fps: float):
+        import imageio
+
+        self.path = path
+        self._w = imageio.get_writer(
+            path, mode="I", duration=1.0 / max(fps, 1e-6), loop=0
+        )
+
+    def add(self, frame):
+        self._w.append_data(frame)
+
+    def close(self) -> str:
+        self._w.close()
+        return self.path
+
+
+def _open_writer(out: str, fps: float, width: int, height: int):
+    """Open a streaming encoder for `out` before the first frame renders.
+
+    .mp4 → OpenCV, silently downgrading to .gif only when no MP4 codec is
+    available (the reference environment's known-good fallback); .gif →
+    imageio.  Anything else is an explicit error — imageio would otherwise
+    guess a format from the extension and write something unintended.
+    """
     if out.endswith(".mp4"):
         try:
-            import cv2
-
-            h, w = frames[0].shape[:2]
-            vw = cv2.VideoWriter(
-                out, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
-            )
-            if vw.isOpened():
-                for f in frames:
-                    vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
-                vw.release()
-                return out
-            vw.release()
+            return _Mp4Writer(out, fps, width, height)
         except Exception:
-            pass
-        out = out[:-4] + ".gif"
-    import imageio
-
-    imageio.mimsave(out, frames, duration=1.0 / max(fps, 1e-6), loop=0)
-    return out
+            return _GifWriter(out[:-4] + ".gif", fps)
+    if out.endswith(".gif"):
+        return _GifWriter(out, fps)
+    raise ValueError(
+        f"unsupported output extension on {out!r}: use .mp4 or .gif"
+    )
