@@ -6,7 +6,10 @@ defaults per task so `run --task X` executes the real workload."""
 
 import argparse
 
-from tpu_dialmpc.cli.main import _build
+import numpy as np
+import pytest
+
+from tpu_dialmpc.cli.main import _build, main
 from tpu_dialmpc.envs.registry import dial_defaults
 
 
@@ -72,3 +75,39 @@ def test_register_env_custom_dial(recwarn):
         from tpu_dialmpc.envs.registry import _DIAL_DEFAULTS
 
         _DIAL_DEFAULTS.pop("_test_biped", None)
+
+
+@pytest.mark.slow
+def test_resumed_run_replays_exactly(tmp_path, capsys):
+    """run --checkpoint → run --resume --out → replay is drift-free.
+
+    The trajectory npz carries the predecessor state including its Newton
+    warmstart (qpos0/qvel0/warmstart0): the truncated-iteration solver's
+    starting point is observable, so without restoring it a resumed run's
+    replay diverges at t=0 (the regression this pins)."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "task: go2_stand\n"
+        "env: {n_substeps: 1}\n"
+        "dial: {Nsample: 4, Hsample: 4, Hnode: 2, Ndiffuse: 1, "
+        "Ndiffuse_init: 1, n_steps: 2}\n"
+    )
+    ck = str(tmp_path / "ck.npz")
+    traj = str(tmp_path / "traj.npz")
+    assert main(["run", "--config", str(cfg), "--checkpoint", ck]) == 0
+    assert (
+        main(
+            ["run", "--config", str(cfg), "--resume", ck, "--n-steps", "4",
+             "--out", traj]
+        )
+        == 0
+    )
+    data = np.load(traj)
+    # the resume checkpoint was written after 2 steps: its warmstart is live
+    assert "warmstart0" in data and np.abs(data["warmstart0"]).max() > 0
+    assert float(data["dt"]) > 0
+    capsys.readouterr()
+    assert main(["replay", "--config", str(cfg), "--trajectory", traj]) == 0
+    out = capsys.readouterr().out
+    drift = float(out.rsplit("final qpos drift", 1)[1].strip())
+    assert drift < 1e-8, out
