@@ -56,3 +56,36 @@ def test_render_rejects_bad_shape(tmp_path):
         render_trajectory(
             "go2_force", np.zeros((5, 3)), str(tmp_path / "x.mp4")
         )
+
+
+def test_render_rejects_empty_trajectory(tmp_path):
+    m = assets.load_mj_model("go2_force")
+    with pytest.raises(ValueError, match="empty"):
+        render_trajectory(
+            "go2_force", np.zeros((0, m.nq)), str(tmp_path / "x.mp4")
+        )
+
+
+def test_open_writer_streams_and_validates(tmp_path):
+    """The streaming encoders consume one frame at a time (constant memory)
+    and unknown extensions fail fast instead of letting imageio guess."""
+    from tpu_dialmpc.tools.render import _open_writer
+
+    frame = np.zeros((32, 48, 3), np.uint8)
+    frame[8:16, 8:16] = 255
+
+    w = _open_writer(str(tmp_path / "a.gif"), fps=10, width=48, height=32)
+    for _ in range(3):
+        w.add(frame)
+    path = w.close()
+    assert path.endswith(".gif") and os.path.getsize(path) > 100
+
+    w = _open_writer(str(tmp_path / "b.mp4"), fps=10, width=48, height=32)
+    for _ in range(3):
+        w.add(frame)
+    path = w.close()
+    # either a real mp4 or the documented .gif downgrade when no codec
+    assert path.endswith((".mp4", ".gif")) and os.path.getsize(path) > 100
+
+    with pytest.raises(ValueError, match="extension"):
+        _open_writer(str(tmp_path / "c.webm"), fps=10, width=48, height=32)
