@@ -172,18 +172,26 @@ def run_roofline(task="go2_stand", nsample=2048, hsample=20, n_substeps=8):
     }
 
 
-def _backend_probe_ok(timeout_s: float = 240.0) -> bool:
+def _backend_probe_ok(timeout_s: float | None = None) -> bool:
     """Probe JAX backend init in a subprocess with a hard timeout.
 
     A tunneled-TPU claim can block indefinitely inside make_c_api_client
     when the tile is wedged (e.g. a previous holder died mid-session); an
     in-process hang would leave no bench artifact at all.  The subprocess
     is killed as a group on timeout so no waiter lingers.
+
+    `TPU_DIALMPC_BENCH_PROBE_TIMEOUT` overrides the 240 s default (tests
+    exercise the wedged path with a short one).
     """
     import os
     import signal
     import subprocess
     import sys
+
+    if timeout_s is None:
+        timeout_s = float(
+            os.environ.get("TPU_DIALMPC_BENCH_PROBE_TIMEOUT", "240")
+        )
 
     p = subprocess.Popen(
         [

@@ -1,0 +1,36 @@
+"""bench.py wedged-backend fallback: still emits a JSON line with the
+last-known-good measurement instead of hanging or printing nothing.
+
+The tunneled-TPU claim can wedge server-side (axon init blocks or raises
+UNAVAILABLE); the driver runs bench.py unconditionally at round end, so the
+degraded path is a real production surface.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_wedged_backend_reports_last_known_good():
+    env = dict(os.environ)
+    # a 1-second probe budget is shorter than any jax import: the probe
+    # subprocess always times out, which is exactly the wedged-tile shape
+    env["TPU_DIALMPC_BENCH_PROBE_TIMEOUT"] = "1"
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["value"] == -1.0 and "error" in line
+    # the cached real-TPU measurement rides along for the record
+    lkg = line["last_known_good"]
+    assert lkg["unit"] == "ms/iteration" and lkg["value"] > 0
+    assert lkg["platform"] != "cpu" and "measured_at" in lkg
