@@ -1,0 +1,77 @@
+"""telemetry/profile.py: op-count roofline inputs, phase timings, trace.
+
+The reference has no profiling at all (SURVEY §5); these pin the profiling
+subsystem's contracts so `cli profile` keeps working: the analytic op count
+that anchors the VPU roofline, the phase-timing report shape, the profiler
+trace wrapper, and the CPU-backend failure mode of the roofline itself.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_dialmpc.envs import get_env
+from tpu_dialmpc.telemetry import profile as prof
+
+
+def test_count_fused_ops_traces_substep():
+    env = get_env("go2_stand", n_substeps=1)
+    counts = prof.count_fused_ops(env.model, n_substeps=8)
+    # the fused Go2 substep is a few thousand scalar-tile ops (FK + CRB +
+    # RNE + collision + Newton); a collapse to a trivial graph means the
+    # roofline denominator is wrong
+    assert counts["vector_ops_per_substep"] > 1000
+    assert counts["n_substeps"] == 8
+    # deterministic: the same model traces to the same graph
+    again = prof.count_fused_ops(env.model, n_substeps=8)
+    assert again["vector_ops_per_substep"] == counts["vector_ops_per_substep"]
+
+
+def test_crate_scene_costs_more_ops():
+    """Cross-tree contacts (robot<->crate cliques) must show up in the
+    analytic op count — the roofline for crate tasks uses it."""
+    go2 = prof.count_fused_ops(get_env("go2_stand").model)
+    crate = prof.count_fused_ops(get_env("go2_crate").model)
+    assert (
+        crate["vector_ops_per_substep"] > go2["vector_ops_per_substep"]
+    )
+
+
+def test_roofline_raises_cleanly_without_fused_backend():
+    if jax.default_backend() != "cpu":
+        pytest.skip("fused path exists on TPU")
+    with pytest.raises(RuntimeError, match="fused path unavailable"):
+        prof.fused_kernel_roofline(nsample=8, n_substeps=1, hsample=2)
+
+
+def test_capture_trace_writes_profile(tmp_path):
+    out = prof.capture_trace(
+        str(tmp_path), lambda x: jnp.sum(x * x), jnp.arange(8.0)
+    )
+    assert float(out) == pytest.approx(140.0)
+    # jax.profiler.trace writes plugins/profile/<ts>/*.xplane.pb
+    found = [
+        f
+        for root, _, files in os.walk(tmp_path)
+        for f in files
+        if f.endswith((".xplane.pb", ".trace.json.gz"))
+    ]
+    assert found, "no profiler artifact written"
+
+
+@pytest.mark.slow
+def test_phase_timings_shape_tiny():
+    out = prof.phase_timings(
+        task="go2_stand", nsample=8, hsample=4, hnode=2, n_substeps=1
+    )
+    assert set(out) == {
+        "reverse_once_ms",
+        "sample_spline_ms",
+        "rollout_ms",
+        "score_update_ms",
+    }
+    assert all(v >= 0 for v in out.values())
+    # the rollout dominates the iteration; sampling+splines are cheap
+    assert out["rollout_ms"] <= out["reverse_once_ms"] * 1.5 + 1.0

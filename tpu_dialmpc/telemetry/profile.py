@@ -36,7 +36,10 @@ def _amortized(fn, args, r_lo=2, r_hi=18, reps=5):
     @functools.partial(jax.jit, static_argnames=("r",))
     def chain(r, *a):
         def body(c, _):
-            return fn(*a, c), None
+            # cast back to the carry dtype: under the CPU float64 path the
+            # phase fns return f64 accumulators and scan requires carry
+            # input/output types to match (timing is dtype-agnostic)
+            return jnp.asarray(fn(*a, c), c.dtype), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0), None, length=r)
         return out
