@@ -119,3 +119,33 @@ def test_h1_crate_anchor_mode():
     np.testing.assert_allclose(
         np.asarray(target_for_crate_x(1.0))[2], env.config.pos_tar_z, atol=1e-6
     )
+
+
+def test_h1_crate_anchor_fallback_honors_leash():
+    """pos_anchor_mode="crate" on a crate-free scene falls back to the
+    open-loop integrator — and a configured leash must then apply.
+
+    Regression: the leash used to gate on the configured mode STRING, so
+    the fallback branch ran unleashed (the exact runaway-target case the
+    leash exists to bound)."""
+    env = get_env(
+        "h1_walk",
+        fused="off",
+        n_substeps=8,
+        pos_anchor_mode="crate",
+        pos_anchor_leash=0.4,
+    )
+    assert env._crate_qadr is None  # no crate dof: the fallback branch runs
+    state = env.reset(jax.random.PRNGKey(0))
+    args = _post_args(env, state)
+
+    def body(info, _):
+        _, _, info2 = env._post_physics(info=info, **args)
+        return info2, info2.pos_tar
+
+    _, pos_tars = jax.jit(
+        lambda info: jax.lax.scan(body, info, None, length=400)
+    )(state.info)
+    torso_xy = np.asarray(args["torso_xpos"][:2])
+    leads = np.linalg.norm(np.asarray(pos_tars)[:, :2] - torso_xy, axis=-1)
+    assert leads.max() <= 0.4 + 1e-5, leads.max()
