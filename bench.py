@@ -78,7 +78,9 @@ def run_bench(task="go2_stand", nsample=2048, hsample=20, hnode=5, iters=6,
         ctrl_dt=0.02,
     )
     mbdpi = MBDPI(cfg, env)
-    state = env.reset(jax.random.PRNGKey(0))
+    # jitted reset: eager dispatch would compile dozens of tiny programs,
+    # each a server round-trip on a tunneled backend
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
     Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size))
     scale = jnp.asarray(mbdpi.sigma_control, Y0.dtype)
 
@@ -126,7 +128,7 @@ def run_control_step_bench(task="go2_stand", nsample=2048, hsample=20,
     )
     mbdpi = MBDPI(cfg, env)
     lean = _lean_capable(env)
-    state = env.reset(jax.random.PRNGKey(0))
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))  # see run_bench
     if lean:
         state = to_lean(state)
     Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size))
@@ -211,30 +213,8 @@ def _backend_probe_ok(timeout_s: float | None = None) -> bool:
         return False
 
 
-if __name__ == "__main__":
-    import os
-
-    # every successful run is cached here so a later wedged-tunnel run can
-    # still report the most recent real measurement instead of nothing
-    _last_good_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_GOOD.json"
-    )
-    if not _backend_probe_ok():
-        out = {
-            "metric": "go2_stand_reverse_once_ms_N2048_H20_sub8",
-            "value": -1.0,
-            "unit": "ms/iteration",
-            "vs_baseline": 0.0,
-            "error": "backend init hung >240s (wedged TPU tunnel "
-            "claim) — no measurement possible this run",
-        }
-        try:
-            with open(_last_good_path) as f:
-                out["last_known_good"] = json.load(f)
-        except Exception:
-            pass
-        print(json.dumps(out))
-        raise SystemExit(0)
+def _measure_all():
+    """The full measurement suite (headline + extras); runs in the child."""
     headline = run_bench()
     extra = []
     for fn in (
@@ -252,10 +232,81 @@ if __name__ == "__main__":
         import jax
 
         headline["platform"] = jax.default_backend()
-        # only a real-TPU measurement is worth caching as "last good"
-        if headline["platform"] != "cpu":
-            with open(_last_good_path, "w") as f:
-                json.dump(headline, f, indent=1)
     except Exception:
         pass
+    return headline
+
+
+def _emit_wedged(reason: str, last_good_path: str):
+    out = {
+        "metric": "go2_stand_reverse_once_ms_N2048_H20_sub8",
+        "value": -1.0,
+        "unit": "ms/iteration",
+        "vs_baseline": 0.0,
+        "error": reason,
+    }
+    try:
+        with open(last_good_path) as f:
+            out["last_known_good"] = json.load(f)
+    except Exception:
+        pass
+    print(json.dumps(out))
+    raise SystemExit(0)
+
+
+if __name__ == "__main__":
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    # every successful run is cached here so a later wedged-tunnel run can
+    # still report the most recent real measurement instead of nothing
+    _last_good_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_GOOD.json"
+    )
+    if "--child" in sys.argv:
+        # measurement worker: parent owns the watchdog + fallback
+        print(json.dumps(_measure_all()))
+        sys.exit(0)
+    if not _backend_probe_ok():
+        _emit_wedged(
+            "backend init hung >240s (wedged TPU tunnel claim) — no "
+            "measurement possible this run",
+            _last_good_path,
+        )
+    # The probe only proves backend *init*; a degraded tunnel can still stall
+    # per-program XLA compiles server-side (observed: >90 s for a single
+    # eager concatenate after a clean init).  Run the whole measurement in a
+    # killable subprocess so bench.py always emits a JSON line.
+    _budget_s = float(os.environ.get("TPU_DIALMPC_BENCH_TIMEOUT", "1800"))
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child"],
+        start_new_session=True,
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        stdout, _ = p.communicate(timeout=_budget_s)
+    except subprocess.TimeoutExpired:
+        os.killpg(p.pid, signal.SIGKILL)
+        p.wait()
+        _emit_wedged(
+            f"measurement exceeded {_budget_s:.0f}s (degraded tunnel: "
+            "backend up but per-program compiles stalling) — no fresh "
+            "measurement this run",
+            _last_good_path,
+        )
+    lines = [l for l in (stdout or "").strip().splitlines() if l.strip()]
+    if p.returncode != 0 or not lines:
+        _emit_wedged(
+            f"measurement subprocess failed (rc={p.returncode}) — no fresh "
+            "measurement this run",
+            _last_good_path,
+        )
+    headline = json.loads(lines[-1])
+    # only a real-TPU measurement is worth caching as "last good"
+    if headline.get("platform") not in (None, "cpu"):
+        with open(_last_good_path, "w") as f:
+            json.dump(headline, f, indent=1)
     print(json.dumps(headline))

@@ -14,6 +14,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_bench_measurement_timeout_reports_last_known_good():
+    """Degraded-tunnel shape #2: backend init succeeds (probe passes) but
+    per-program compiles stall — the measurement watchdog must still emit a
+    JSON line with the cached measurement (observed in production: a clean
+    init followed by >90 s server-side compiles of single eager ops)."""
+    env = dict(os.environ)
+    env["TPU_DIALMPC_BENCH_PROBE_TIMEOUT"] = "120"  # probe passes (CPU jax)
+    env["TPU_DIALMPC_BENCH_TIMEOUT"] = "1"  # child can never finish in 1 s
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["value"] == -1.0 and "measurement exceeded" in line["error"]
+    lkg = line["last_known_good"]
+    assert lkg["unit"] == "ms/iteration" and lkg["value"] > 0
+
+
 def test_bench_wedged_backend_reports_last_known_good():
     env = dict(os.environ)
     # a 1-second probe budget is shorter than any jax import: the probe

@@ -94,6 +94,10 @@ if not _os.environ.get("TPU_DIALMPC_NO_CACHE"):
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERY compile: on a degraded tunnel even a single eager
+        # concatenate has been observed to take >90 s server-side, and sub-1s
+        # programs that were never cached are exactly the ones that stall the
+        # next run
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # older jax without these flags
         pass
