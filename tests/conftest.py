@@ -38,6 +38,7 @@ _F64_ONLY_FILES = {
     "test_smooth_dynamics.py",
     "test_constrained_dynamics.py",
     "test_reference_parity.py",
+    "test_binary_parity.py",
     "test_rotations.py",
     "test_spline.py",
     "test_fused.py",  # eager-math parity vs the float64 XLA pipeline

@@ -54,7 +54,11 @@ class RefEmulator:
             mujoco.mj_name2id(self.m, mujoco.mjtObj.mjOBJ_SITE, s)
             for s in ("FL_foot", "FR_foot", "RL_foot", "RR_foot")
         ]
-        self.joint_range = self.m.jnt_range[1:13].copy()
+        # The C++ reads jnt_range rows 0..11 — jnt 0 is the FREEJOINT, whose
+        # (0,0) range pins act[0]'s target to 0 and shifts every other
+        # actuator one joint over (quirk Q10, unitree-go2-env.h:324-331;
+        # discovered by the compiled-binary oracle, test_binary_parity.py)
+        self.joint_range = self.m.jnt_range[0:12].copy()
         self.n2u = spline.node2u_matrix(cfg.Hnode, cfg.Hsample, cfg.ctrl_dt, "ref")
         tmax = cfg.ctrl_dt * cfg.Hsample
         self.sigma_control = cfg.horizon_diffuse_factor ** np.arange(
@@ -206,7 +210,7 @@ def _parity_cfg(**kw):
 def _parity_env(dtype="float64"):
     return get_env(
         "go2_stand", n_substeps=1, dtype=dtype, ramp_up_time=1.0,
-        default_vx=0.8, kp=30.0, kd=0.65, joint_range_source="model",
+        default_vx=0.8, kp=30.0, kd=0.65, joint_range_source="model_eigen",
         yaw_mode="eigen",
     )
 

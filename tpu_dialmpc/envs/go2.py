@@ -63,7 +63,13 @@ class UnitreeGo2EnvConfig:
     # midpoint sits 1.1 rad from the home pose — act=0 then drives the rear
     # legs toward collapse, which destabilizes every gait (measured: trot
     # sinks within ~10 control steps). "upstream" (default) = the Python
-    # table; "model" = the C++ behavior (parity tests pin this).
+    # table; "model" = hinge ranges as the C++ *intended*; "model_eigen" =
+    # what the C++ *actually does* (quirk Q10, unitree-go2-env.h:324-331):
+    # it reads jnt_range rows 0..11, where row 0 is the FREEJOINT's (0,0)
+    # range — act[0]'s target is pinned to 0 and every other actuator gets
+    # the range of the joint one slot over.  Found by the compiled-binary
+    # parity oracle (tests/test_binary_parity.py); binary-parity tests pin
+    # "model_eigen".
     joint_range_source: str = "upstream"
     # Yaw extraction. "atan2" (default) is the standard (-π, π] yaw the
     # upstream Python uses; "eigen" replicates the C++'s Eigen
@@ -103,12 +109,20 @@ class UnitreeGo2Env(FusedRolloutMixin):
         if config.joint_range_source == "upstream" and self.model.nu == 12:
             # upstream dial-mpc table, joint order (FR, FL, RR, RL)x(hip,
             # thigh, calf) — dial_mpc/include/UnitreeGo2Env.h:276-288
-            front = [[-0.5, 0.5], [0.4, 1.4], [-2.3, -0.85]]
-            rear = [[-0.5, 0.5], [0.4, 1.4], [-2.3, -1.3]]
-            self.joint_range = np.array(front * 2 + rear * 2)
+            self.joint_range = np.array(
+                [[-0.5, 0.5], [0.4, 1.4], [-2.3, -0.85]] * 2
+                + [[-0.5, 0.5], [0.4, 1.4], [-2.3, -1.3]] * 2
+            )
+            self.physical_joint_range = model_range.copy()
+        elif config.joint_range_source == "model_eigen":
+            # quirk Q10 (see config docstring): jnt_range rows 0..nu-1 —
+            # includes the freejoint's (0,0) row, shifts the hinges by one;
+            # the C++ sets physical_joint_range_ = joint_range_ too
+            self.joint_range = np.asarray(self.model.jnt_range)[: self.model.nu]
+            self.physical_joint_range = self.joint_range.copy()
         else:
             self.joint_range = model_range
-        self.physical_joint_range = model_range.copy()
+            self.physical_joint_range = model_range.copy()
         # torque limits from actuator ctrlrange; (0,0) -> unlimited
         # (unitree-go2-env.h:340-354)
         cr = np.asarray(self.model.actuator_ctrlrange)
