@@ -171,6 +171,13 @@ def run_roofline(task="go2_stand", nsample=2048, hsample=20, n_substeps=8):
         "value": round(frac, 3),
         "unit": "fraction_of_vpu_roof",
         "vs_baseline": round(frac, 3),  # target = 1.0 (speed of light)
+        # roof provenance: independent microbenchmarks, not kernel-tuned
+        # constants (telemetry/profile.py module docstring)
+        "measured_peak_gops": round(roof["measured_peak_gops"], 2),
+        "measured_hbm_gbps": round(roof["measured_hbm_gbps"], 1),
+        "bound": roof["bound"],
+        "ideal_ms": round(roof["ideal_vpu_ms"], 3),
+        "measured_ms": round(roof["measured_ms"], 3),
     }
 
 

@@ -251,12 +251,31 @@ def cmd_render(args):
 def cmd_bench(args):
     import bench as bench_mod  # repo-root bench harness
 
-    line = bench_mod.run_bench(
+    kw = dict(
         task=args.task,
         nsample=args.nsample or 2048,
         hsample=args.hsample or 20,
         iters=args.iters,
     )
+    if args.hnode is not None:
+        kw["hnode"] = args.hnode
+    if args.substeps is not None:
+        kw["n_substeps"] = args.substeps
+    line = bench_mod.run_bench(**kw)
+    if args.full:
+        # the extras bench.py itself emits: control-step latency + roofline
+        extra = [bench_mod.run_control_step_bench(**kw)]
+        try:
+            extra.append(
+                bench_mod.run_roofline(
+                    task=kw["task"], nsample=kw["nsample"],
+                    hsample=kw["hsample"],
+                    n_substeps=kw.get("n_substeps", 8),
+                )
+            )
+        except Exception as e:  # CPU hosts: fused kernel unavailable
+            extra.append({"metric": "skipped", "error": str(e)[:200]})
+        line["extra"] = extra
     print(json.dumps(line))
     return 0
 
@@ -438,6 +457,11 @@ def main(argv=None):
         sp.add_argument("--telemetry", default=None, help="JSONL output path")
         sp.add_argument("--out", default=None, help="trajectory .npz output")
         sp.add_argument("--iters", type=int, default=20)
+        sp.add_argument("--hnode", type=int, default=None)
+        sp.add_argument(
+            "--full", action="store_true",
+            help="bench: also emit control-step + roofline extras",
+        )
         sp.add_argument("--trajectory", default=None)
         sp.add_argument("--scan", action="store_true", help="on-device scan driver")
         sp.add_argument(
