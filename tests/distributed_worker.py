@@ -60,6 +60,19 @@ if env_kind == "go2":
     env = get_env("go2_stand", n_substeps=1, dtype="float64", fused="off")
     state = env.reset(jax.random.PRNGKey(0))
     nu = env.action_size
+elif env_kind == "h1":
+    # BASELINE config #5 workload SHAPE (configs/h1_multihost.yaml): H1
+    # whole-body physics (nu=19, crate scene) at the production horizon
+    # Hsample=32/Hnode=8, Nsample scaled down for the CPU dryrun — the
+    # cross-process collective layout is identical at any Nsample
+    from tpu_dialmpc.envs import get_env  # noqa: E402
+
+    cfg = DialConfig(
+        Hsample=32, Hnode=8, Nsample=8, ctrl_dt=0.02, temp_sample=0.1
+    )
+    env = get_env("h1_push_crate", n_substeps=1, dtype="float64", fused="off")
+    state = env.reset(jax.random.PRNGKey(0))
+    nu = env.action_size
 else:
     env = StubFusedEnv(fused=False)
     state = env.reset()

@@ -20,7 +20,15 @@ def test_bench_measurement_timeout_reports_last_known_good():
     JSON line with the cached measurement (observed in production: a clean
     init followed by >90 s server-side compiles of single eager ops)."""
     env = dict(os.environ)
-    env["TPU_DIALMPC_BENCH_PROBE_TIMEOUT"] = "120"  # probe passes (CPU jax)
+    # pin the probe subprocess to CPU: if another process holds the single
+    # tunneled TPU claim (e.g. the quality harness), a TPU-path probe hangs
+    # and this test would exercise the wrong fallback shape
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TPU_DIALMPC_PLATFORM"] = "cpu"
+    # generous probe budget: under a parallel (-n 4) test lane the probe's
+    # jax import alone can take >120 s, which would flip this test onto the
+    # wedged-probe path instead of the measurement-timeout path under test
+    env["TPU_DIALMPC_BENCH_PROBE_TIMEOUT"] = "300"  # probe passes (CPU jax)
     env["TPU_DIALMPC_BENCH_TIMEOUT"] = "1"  # child can never finish in 1 s
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -28,7 +36,7 @@ def test_bench_measurement_timeout_reports_last_known_good():
         env=env,
         capture_output=True,
         text=True,
-        timeout=240,
+        timeout=420,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = json.loads(out.stdout.strip().splitlines()[-1])

@@ -32,7 +32,7 @@ def _free_port():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("env_kind", ["stub", "go2"])
+@pytest.mark.parametrize("env_kind", ["stub", "go2", "h1"])
 def test_two_process_distributed_reverse_once(tmp_path, env_kind):
     nproc = 2
     port = _free_port()
@@ -40,7 +40,15 @@ def test_two_process_distributed_reverse_once(tmp_path, env_kind):
     env_base.pop("JAX_PLATFORMS", None)
     env_base["JAX_PLATFORMS"] = "cpu"
     env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env_base["TPU_DIALMPC_NO_CACHE"] = "1"
+    # workers share the host-tagged test cache (see conftest) — the h1
+    # case's crate-scene step is ~10 min of XLA:CPU compile when cold
+    env_base.pop("TPU_DIALMPC_NO_CACHE", None)
+    env_base.setdefault(
+        "TPU_DIALMPC_CACHE_DIR",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "tpu_dialmpc_test_xla"
+        ),
+    )
     procs = []
     outs = []
     for pid in range(nproc):
@@ -66,7 +74,9 @@ def test_two_process_distributed_reverse_once(tmp_path, env_kind):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=900)
+            # the h1 case compiles the 56-constraint-slot crate step on
+            # XLA-CPU (~10 min cold under load); budget accordingly
+            stdout, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -83,6 +93,19 @@ def test_two_process_distributed_reverse_once(tmp_path, env_kind):
         from tpu_dialmpc.envs import get_env
 
         env = get_env("go2_stand", n_substeps=1, dtype="float64", fused="off")
+        state = env.reset(jax.random.PRNGKey(0))
+        nu = env.action_size
+    elif env_kind == "h1":
+        # BASELINE config #5 shape (configs/h1_multihost.yaml) — must stay in
+        # sync with distributed_worker.py's "h1" branch
+        from tpu_dialmpc.envs import get_env
+
+        cfg = DialConfig(
+            Hsample=32, Hnode=8, Nsample=8, ctrl_dt=0.02, temp_sample=0.1
+        )
+        env = get_env(
+            "h1_push_crate", n_substeps=1, dtype="float64", fused="off"
+        )
         state = env.reset(jax.random.PRNGKey(0))
         nu = env.action_size
     else:

@@ -116,3 +116,34 @@ def test_sample_command_bounds_and_structure():
     assert np.all(np.abs(angs[:, 2]) <= 1.5)
     # actually spans the range (not degenerate)
     assert vels[:, 0].max() > 0.75 and vels[:, 0].min() < -0.75
+
+
+def test_turn_schedule_sign_flip_and_integrated_yaw_target():
+    """go2_turn command schedule (envs/go2.py turn_period): the commanded
+    yaw rate is a ramped square wave flipping sign every turn_period steps,
+    and yaw_tar integrates the commanded rate (carried in info) instead of
+    the C++ constant-command closed form."""
+    import jax
+    import jax.numpy as jnp
+
+    env = get_env(
+        "go2_turn", n_substeps=1, turn_period=3, ramp_up_time=1e-9
+    )
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    vyaws, yaw_tars = [], []
+    for _ in range(9):
+        state = step(state, jnp.zeros(env.action_size))
+        vyaws.append(float(state.info.ang_vel_tar[2]))
+        yaw_tars.append(float(state.info.yaw_tar))
+    vyaws = np.asarray(vyaws)
+    # step 0 rides the ramp from zero (frac = step·dt/T = 0, exactly like
+    # the C++ vx ramp at t=0); then +1.5 until the first flip at step 3
+    np.testing.assert_allclose(vyaws[0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(vyaws[1:3], 1.5, atol=1e-6)
+    np.testing.assert_allclose(vyaws[3:6], -1.5, atol=1e-6)
+    np.testing.assert_allclose(vyaws[6:9], 1.5, atol=1e-6)
+    # yaw_tar integrates vyaw*dt step by step
+    np.testing.assert_allclose(
+        yaw_tars, np.cumsum(vyaws * env.dt), atol=1e-5
+    )

@@ -149,3 +149,28 @@ def test_h1_crate_anchor_fallback_honors_leash():
     torso_xy = np.asarray(args["torso_xpos"][:2])
     leads = np.linalg.norm(np.asarray(pos_tars)[:, :2] - torso_xy, axis=-1)
     assert leads.max() <= 0.4 + 1e-5, leads.max()
+
+
+def test_h1_sample_command_bounds_and_structure():
+    """H1 command resample bounds (envs/h1.py:sample_command): uniform
+    (vx ±1.0, vy ±0.5, vyaw ±1.0); vz and roll/pitch rates stay zero."""
+    env = get_env("h1_walk")
+    vels, angs = [], []
+    for s in range(50):
+        v, a = env.sample_command(jax.random.PRNGKey(s))
+        v, a = np.asarray(v), np.asarray(a)
+        assert v[2] == 0.0 and a[0] == 0.0 and a[1] == 0.0
+        vels.append(v)
+        angs.append(a)
+    vels, angs = np.stack(vels), np.stack(angs)
+    assert np.all(np.abs(vels[:, 0]) <= 1.0) and np.all(np.abs(vels[:, 1]) <= 0.5)
+    assert np.all(np.abs(angs[:, 2]) <= 1.0)
+    assert vels[:, 0].max() > 0.5 and vels[:, 0].min() < -0.5
+
+
+def test_h1_observation_size_matches_obs():
+    """observation_size (new in round 3 — Go2 parity) matches the actual
+    observation vector produced by reset."""
+    env = get_env("h1_walk")
+    state = env.reset(jax.random.PRNGKey(0))
+    assert state.obs.shape == (env.observation_size,)

@@ -1,10 +1,9 @@
 """Control-quality e2e gates (TPU-only, slow): the tasks actually work.
 
-The reference's only quality instrument is eyeballing the viewer and one
-printed average reward (dial-core-test.cpp:101-106).  These tests pin the
-measured behavior of the headline tasks on real hardware: the robot stays up,
-tracks the command, and (crate task) moves the payload.  Thresholds are the
-recorded envelopes from the tuning runs in PROGRESS/README minus margin.
+The gate definitions (workloads + threshold checks + recorded envelopes)
+live in tpu_dialmpc/quality.py, shared with the repo-root `quality.py`
+harness that emits the per-round QUALITY_r{N}.json artifact — these tests
+assert exactly what the artifact records.
 
 They need the fused kernel (400-step receding-horizon runs), so they are
 skipped off-TPU — the physics itself is oracle-tested on CPU elsewhere
@@ -12,12 +11,9 @@ skipped off-TPU — the physics itself is oracle-tested on CPU elsewhere
 """
 
 import jax
-import numpy as np
 import pytest
 
-from tpu_dialmpc.envs import get_env
-from tpu_dialmpc.planner import runner
-from tpu_dialmpc.planner.dial import DialConfig
+from tpu_dialmpc import quality
 
 pytestmark = [
     pytest.mark.slow,
@@ -27,90 +23,8 @@ pytestmark = [
 ]
 
 
-def _run(task, n_steps=400, env_over=None, **dial):
-    env = get_env(task, n_substeps=8, **(env_over or {}))
-    cfg = DialConfig(
-        Hsample=dial.pop("Hsample", 32),
-        Hnode=dial.pop("Hnode", 8),
-        Nsample=dial.pop("Nsample", 2048),
-        Ndiffuse=2,
-        Ndiffuse_init=10,
-        temp_sample=0.05,
-        horizon_diffuse_factor=0.9,
-        traj_diffuse_factor=0.5,
-        ctrl_dt=0.02,
-        n_steps=n_steps,
-    )
-    res = runner.run_scan(env, cfg)
-    return np.asarray(res.qpos), np.asarray(res.rewards), np.asarray(res.dones)
-
-
-def test_go2_trot_quality():
-    """Go2 trot at vx=0.8: forward progress with torso height held."""
-    qpos, rewards, dones = _run(
-        "go2_trot", Hsample=20, Hnode=5, n_steps=400
-    )
-    z = qpos[:, 2]
-    assert z.min() > 0.15, z.min()
-    assert qpos[-1, 0] > 3.5, qpos[-1, 0]  # ≥3.5 m in 8 s at vx=0.8 (ramped)
-    # (recorded: 5.0 m, z in [0.25, 0.28]; done flags only transient)
-    assert dones.mean() < 0.05, dones.mean()
-
-
-def test_h1_loco_walk_quality():
-    """H1 (arms-fixed) walk at vx=0.5: pelvis ≥0.9 m held, ~4 m traveled."""
-    qpos, rewards, dones = _run("h1_loco")
-    z = qpos[:, 2]
-    assert z[-100:].mean() > 0.85, z[-100:].mean()
-    assert z.min() > 0.6, z.min()
-    assert qpos[-1, 0] > 3.0, qpos[-1, 0]
-
-
-def test_h1_walk_quality():
-    """H1 with arms (19 dof) at vx=0.5: stays up and makes progress."""
-    qpos, rewards, dones = _run("h1_walk")
-    z = qpos[:, 2]
-    assert z[-100:].mean() > 0.8, z[-100:].mean()
-    assert z.min() > 0.5, z.min()
-    assert qpos[-1, 0] > 2.0, qpos[-1, 0]
-
-
-def test_h1_push_crate_quality():
-    """H1 pushes the 30 kg crate: upright + positive crate displacement."""
-    qpos, rewards, dones = _run("h1_push_crate")
-    z = qpos[:, 2]
-    # recorded (500-step probe, crate_vel_weight=6 + anchor leash 0.4 after
-    # the plane-capsule friction-frame fix): crate +0.45 m, pelvis z min
-    # 0.86 / last-100 mean 0.94, no dones
-    assert z[-100:].mean() > 0.75, z[-100:].mean()
-    assert z.min() > 0.6, z.min()
-    crate = qpos[:, 26]  # the crate's slide dof
-    assert crate[-1] - crate[0] > 0.1, crate[-1] - crate[0]
-
-
-def test_go2_crate_quality():
-    """Go2 in the crate scene: approaches the crate without falling."""
-    qpos, rewards, dones = _run(
-        "go2_crate", Hsample=20, Hnode=5, n_steps=400
-    )
-    z = qpos[:, 2]
-    # the crate is an unclimbable 0.6 m-tall wall with its face at x=0.99
-    # (half-extents 0.31x0.46x0.30 at x=1.3): success is running up against
-    # it and holding stance there without falling.  Recorded: x 0.655, z in
-    # [0.227, 0.24], done 15% (transient stumbles at the wall).
-    assert z.min() > 0.15, z.min()
-    assert qpos[-1, 0] > 0.5, qpos[-1, 0]  # pressed against the crate face
-
-
-def test_go2_canter_quality():
-    """Canter at vx=1.0 (recorded: 5.8 m, z_mean 0.265, z_min 0.173)."""
-    qpos, rewards, dones = _run("go2_canter", Hsample=20, Hnode=5)
-    assert qpos[:, 2].min() > 0.12, qpos[:, 2].min()
-    assert qpos[-1, 0] > 4.5, qpos[-1, 0]
-
-
-def test_go2_gallop_quality():
-    """Gallop at vx=1.2 (recorded: 7.4 m, z_mean 0.266, z_min 0.22)."""
-    qpos, rewards, dones = _run("go2_gallop", Hsample=20, Hnode=5)
-    assert qpos[:, 2].min() > 0.15, qpos[:, 2].min()
-    assert qpos[-1, 0] > 5.5, qpos[-1, 0]
+@pytest.mark.parametrize("gate", list(quality.GATES))
+def test_quality_gate(gate):
+    result = quality.run_gate(gate)
+    print(f"{gate}: {result['metrics']}")
+    assert result["passed"], result["checks"]

@@ -71,6 +71,14 @@ class UnitreeGo2EnvConfig:
     # parity oracle (tests/test_binary_parity.py); binary-parity tests pin
     # "model_eigen".
     joint_range_source: str = "upstream"
+    # Agility: when >0, the yaw-rate command is a square wave — vyaw flips
+    # sign every `turn_period` env steps (magnitude default_vyaw, ramped at
+    # start) and the yaw target INTEGRATES the commanded rate (the constant-
+    # command closed form yaw_tar = vyaw·t·step the C++ uses, unitree-go2-
+    # env.h:489-494, is wrong under reversals).  This is the BASELINE
+    # configs[3] "fast turn" maneuver; gated by tests/test_quality_tpu via
+    # the go2_turn task.
+    turn_period: int = 0
     # Yaw extraction. "atan2" (default) is the standard (-π, π] yaw the
     # upstream Python uses; "eigen" replicates the C++'s Eigen
     # eulerAngles(2,1,0) first angle, which is range-clamped to [0, π]
@@ -308,9 +316,19 @@ class UnitreeGo2Env(FusedRolloutMixin):
             vel_tar = vel_tar.at[1].set(
                 jnp.minimum(cfg.default_vy * frac, cfg.default_vy)
             )
-            ang_vel_tar = info.ang_vel_tar.at[2].set(
-                jnp.minimum(cfg.default_vyaw * frac, cfg.default_vyaw)
-            )
+            if cfg.turn_period:
+                # square-wave yaw-rate command (see turn_period docstring)
+                sign = (
+                    1.0 - 2.0 * ((info.step // cfg.turn_period) % 2)
+                ).astype(dtype)
+                mag = jnp.minimum(
+                    abs(cfg.default_vyaw) * frac, abs(cfg.default_vyaw)
+                )
+                ang_vel_tar = info.ang_vel_tar.at[2].set(mag * sign)
+            else:
+                ang_vel_tar = info.ang_vel_tar.at[2].set(
+                    jnp.minimum(cfg.default_vyaw * frac, cfg.default_vyaw)
+                )
 
         # ---- rewards (unitree-go2-env.h:459-558) ----
         z_feet = site_xpos[self._feet_site_id, 2]
@@ -321,7 +339,14 @@ class UnitreeGo2Env(FusedRolloutMixin):
         up_body = rot.rotate(up_global, torso_xquat)
         reward_upright = -jnp.sum((up_body - up_global) ** 2)
 
-        yaw_tar = info.yaw_tar + ang_vel_tar[2] * self.dt * info.step.astype(dtype)
+        if cfg.turn_period:
+            # integrate the (sign-flipping) commanded rate; carried in info
+            yaw_tar = info.yaw_tar + ang_vel_tar[2] * self.dt
+        else:
+            # C++ closed form for a constant command (unitree-go2-env.h:489-494)
+            yaw_tar = info.yaw_tar + ang_vel_tar[2] * self.dt * info.step.astype(
+                dtype
+            )
         if cfg.yaw_mode == "eigen":
             yaw = rot.quat_to_yaw_eigen(torso_xquat)
         else:
@@ -384,7 +409,7 @@ class UnitreeGo2Env(FusedRolloutMixin):
             pos_tar=info.pos_tar,
             vel_tar=vel_tar,
             ang_vel_tar=ang_vel_tar,
-            yaw_tar=info.yaw_tar,
+            yaw_tar=yaw_tar if cfg.turn_period else info.yaw_tar,
             step=info.step + 1,
             z_feet=z_feet,
             z_feet_tar=z_feet_tar,

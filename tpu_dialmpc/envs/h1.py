@@ -200,6 +200,14 @@ class UnitreeH1Env(FusedRolloutMixin):
         return self.model.nu
 
     @property
+    def observation_size(self) -> int:
+        # [vel_tar(3), ang_vel_tar(3), ctrl(nu), qpos(nq), vb(3), ab(3),
+        #  qvel[6:]] — the same layout as Go2's (dead-code env
+        #  dial_mpc/include/UnitreeGo2Env.h:576-639 with the segment bug
+        #  fixed), sized for this model's dofs
+        return 6 + self.model.nu + self.model.nq + 6 + (self.model.nv - 6)
+
+    @property
     def dt(self) -> float:
         return self.config.timestep * self.config.n_substeps
 

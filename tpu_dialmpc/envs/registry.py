@@ -149,6 +149,21 @@ _register("go2_gallop", _go2(
 _register("go2_trot_position", _go2(
     dict(gait="trot", default_vx=0.8, leg_control="position", scene="go2_position")
 ), _GO2_DIAL)
+# BASELINE configs[3] "fast turn" agility maneuver: trot with the yaw-rate
+# command flipping sign every 1.5 s (75 steps) at ±1.5 rad/s; the yaw target
+# integrates the commanded rate (envs/go2.py turn_period).  Gated on TPU by
+# the go2_turn quality gate (heading tracks the reversing command).
+_register("go2_turn", _go2(
+    dict(
+        gait="trot",
+        default_vx=0.3,
+        default_vyaw=1.5,
+        turn_period=75,
+        kp=30.0,
+        kd=0.65,
+        leg_control="torque",
+    )
+), _GO2_DIAL)
 _register("go2_crate", _go2(
     dict(
         gait="trot",

@@ -1,0 +1,178 @@
+"""Control-quality gates: shared definitions for tests and round artifacts.
+
+The reference's only quality instrument is one printed average reward
+(dial-core-test.cpp:101-106).  Here every headline task has a *gate*: a
+fixed workload (the same receding-horizon scan the CLI runs) plus named
+threshold checks on the measured behavior envelope.  Two consumers:
+
+ - tests/test_quality_tpu.py asserts each gate passes on real hardware;
+ - quality.py (repo root) runs all gates and emits QUALITY_r{N}.json, the
+   per-round machine-readable artifact (round-2 audit: quality numbers
+   lived only in README prose).
+
+Thresholds are recorded tuning envelopes minus margin — see the `recorded`
+notes, measured on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Gate:
+    task: str
+    n_steps: int = 400
+    dial: Optional[Dict] = None  # DialConfig overrides
+    env_over: Optional[Dict] = None
+    # checks: metric name -> (op, threshold); ops: ">" or "<"
+    checks: Tuple[Tuple[str, str, float], ...] = ()
+    # recorded envelope note (documentation only)
+    recorded: str = ""
+    extra_metrics: Optional[Callable] = None  # (qpos) -> dict
+
+
+def _crate_disp(qpos):
+    # h1_push_crate: the crate's slide dof is qpos[:, 26]
+    return {"crate_disp": float(qpos[-1, 26] - qpos[0, 26])}
+
+
+def _turn_metrics(qpos):
+    """Heading-tracking metrics for go2_turn (must mirror the registry's
+    turn task: vyaw=1.5, turn_period=75, ramp 1 s, ctrl_dt 0.02)."""
+    quat = qpos[:, 3:7]
+    yaw = np.unwrap(
+        np.arctan2(
+            2 * (quat[:, 0] * quat[:, 3] + quat[:, 1] * quat[:, 2]),
+            1 - 2 * (quat[:, 2] ** 2 + quat[:, 3] ** 2),
+        )
+    )
+    steps = np.arange(len(yaw))
+    dt = 0.02
+    sign = 1 - 2 * ((steps // 75) % 2)
+    mag = np.minimum(1.5 * steps * dt / 1.0, 1.5)
+    yaw_tar = np.cumsum(mag * sign * dt)
+    err = np.abs(np.arctan2(np.sin(yaw - yaw_tar), np.cos(yaw - yaw_tar)))
+    return {
+        "yaw_err_p90": float(np.quantile(err, 0.9)),
+        "yaw_swing": float(yaw.max() - yaw.min()),
+    }
+
+
+GATES: Dict[str, Gate] = {
+    "go2_trot": Gate(
+        task="go2_trot",
+        dial=dict(Hsample=20, Hnode=5),
+        checks=(("z_min", ">", 0.15), ("x_final", ">", 3.5),
+                ("dones_mean", "<", 0.05)),
+        recorded="5.0 m/8 s, z in [0.25, 0.28], transient dones only",
+    ),
+    "h1_loco": Gate(
+        task="h1_loco",
+        checks=(("z_last100_mean", ">", 0.85), ("z_min", ">", 0.6),
+                ("x_final", ">", 3.0)),
+        recorded="pelvis 0.91 m sustained, 4.7 m traveled",
+    ),
+    "h1_walk": Gate(
+        task="h1_walk",
+        checks=(("z_last100_mean", ">", 0.8), ("z_min", ">", 0.5),
+                ("x_final", ">", 2.0)),
+        recorded="19-dof arms variant: stays up, ~3 m",
+    ),
+    "h1_push_crate": Gate(
+        task="h1_push_crate",
+        checks=(("z_last100_mean", ">", 0.75), ("z_min", ">", 0.6),
+                ("crate_disp", ">", 0.1)),
+        recorded="crate +0.45 m, pelvis z min 0.86 (500-step probe)",
+        extra_metrics=_crate_disp,
+    ),
+    "go2_turn": Gate(
+        task="go2_turn",
+        dial=dict(Hsample=20, Hnode=5),
+        checks=(("z_min", ">", 0.15), ("yaw_err_p90", "<", 0.5),
+                ("yaw_swing", ">", 1.5)),
+        recorded="BASELINE configs[3] fast-turn: heading tracks the "
+                 "sign-flipping +-1.5 rad/s command (1.5 s segments)",
+        extra_metrics=_turn_metrics,
+    ),
+    "go2_crate": Gate(
+        task="go2_crate",
+        dial=dict(Hsample=20, Hnode=5),
+        checks=(("z_min", ">", 0.15), ("x_final", ">", 0.5)),
+        recorded="presses the unclimbable 0.6 m wall at x=0.99; x 0.655",
+    ),
+    "go2_canter": Gate(
+        task="go2_canter",
+        dial=dict(Hsample=20, Hnode=5),
+        checks=(("z_min", ">", 0.12), ("x_final", ">", 4.5)),
+        recorded="5.8 m, z_mean 0.265, z_min 0.173",
+    ),
+    "go2_gallop": Gate(
+        task="go2_gallop",
+        dial=dict(Hsample=20, Hnode=5),
+        checks=(("z_min", ">", 0.15), ("x_final", ">", 5.5)),
+        recorded="7.4 m, z_mean 0.266, z_min 0.22",
+    ),
+}
+
+
+def run_gate(name: str) -> Dict:
+    """Run one gate's workload; return measured metrics + per-check results."""
+    from tpu_dialmpc.envs import get_env
+    from tpu_dialmpc.planner import runner
+    from tpu_dialmpc.planner.dial import DialConfig
+
+    g = GATES[name]
+    dial = dict(g.dial or {})
+    env = get_env(g.task, n_substeps=8, **(g.env_over or {}))
+    cfg = DialConfig(
+        Hsample=dial.pop("Hsample", 32),
+        Hnode=dial.pop("Hnode", 8),
+        Nsample=dial.pop("Nsample", 2048),
+        Ndiffuse=2,
+        Ndiffuse_init=10,
+        temp_sample=0.05,
+        horizon_diffuse_factor=0.9,
+        traj_diffuse_factor=0.5,
+        ctrl_dt=0.02,
+        n_steps=g.n_steps,
+        **dial,
+    )
+    res = runner.run_scan(env, cfg)
+    qpos = np.asarray(res.qpos)
+    rewards = np.asarray(res.rewards)
+    dones = np.asarray(res.dones)
+    z = qpos[:, 2]
+    metrics = {
+        "z_min": float(z.min()),
+        "z_last100_mean": float(z[-100:].mean()),
+        "x_final": float(qpos[-1, 0]),
+        "dones_mean": float(dones.mean()),
+        "reward_mean": float(rewards.mean()),
+    }
+    if g.extra_metrics:
+        metrics.update(g.extra_metrics(qpos))
+    checks = []
+    for metric, op, thr in g.checks:
+        v = metrics[metric]
+        ok = v > thr if op == ">" else v < thr
+        checks.append(
+            {"metric": metric, "op": op, "threshold": thr,
+             "measured": v, "passed": bool(ok)}
+        )
+    return {
+        "gate": name,
+        "task": g.task,
+        "n_steps": g.n_steps,
+        "metrics": metrics,
+        "checks": checks,
+        "passed": all(c["passed"] for c in checks),
+        "recorded": g.recorded,
+    }
+
+
+def run_all(names: Optional[List[str]] = None) -> List[Dict]:
+    return [run_gate(n) for n in (names or list(GATES))]
