@@ -89,3 +89,14 @@ def test_open_writer_streams_and_validates(tmp_path):
 
     with pytest.raises(ValueError, match="extension"):
         _open_writer(str(tmp_path / "c.webm"), fps=10, width=48, height=32)
+
+
+def test_view_trajectory_requires_display(monkeypatch):
+    """The interactive viewer (C14 live-window equivalent) fails cleanly on
+    headless hosts instead of crashing inside GLFW."""
+    from tpu_dialmpc.tools.render import view_trajectory
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    with pytest.raises(RuntimeError, match="no display"):
+        view_trajectory("go2_force", np.zeros((3, 19)), dt=0.02)

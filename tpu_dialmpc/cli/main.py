@@ -220,12 +220,23 @@ def cmd_render(args):
     Headless counterpart of the reference's interactive replay viewer
     (mujoco-sim.h:154-174): `cli run --out traj.npz` then
     `cli render --trajectory traj.npz --out traj.mp4`."""
-    from tpu_dialmpc.tools.render import render_trajectory
+    from tpu_dialmpc.tools.render import render_trajectory, view_trajectory
 
     if not args.trajectory:
         raise SystemExit("render needs --trajectory <traj.npz>")
     data = np.load(args.trajectory)
     env, dial_cfg, _ = _build(args)
+    if args.interactive:
+        # live-window replay (C14 equivalent) for workstation users
+        try:
+            view_trajectory(
+                env.config.scene,
+                data["qpos"],
+                float(data["dt"]) if "dt" in data else env.dt,
+            )
+        except RuntimeError as e:
+            raise SystemExit(str(e))
+        return 0
     out = args.out or (args.trajectory.rsplit(".", 1)[0] + ".mp4")
     # prefer the recording's own control period (saved by `run --out`): the
     # rebuilt env's dt follows current flags/registry defaults, which need
@@ -461,6 +472,10 @@ def main(argv=None):
         sp.add_argument(
             "--full", action="store_true",
             help="bench: also emit control-step + roofline extras",
+        )
+        sp.add_argument(
+            "--interactive", action="store_true",
+            help="render: live-window replay (needs a display)",
         )
         sp.add_argument("--trajectory", default=None)
         sp.add_argument("--scan", action="store_true", help="on-device scan driver")

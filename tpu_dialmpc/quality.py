@@ -95,7 +95,9 @@ GATES: Dict[str, Gate] = {
         checks=(("z_min", ">", 0.15), ("yaw_err_p90", "<", 0.5),
                 ("yaw_swing", ">", 1.5)),
         recorded="BASELINE configs[3] fast-turn: heading tracks the "
-                 "sign-flipping +-1.5 rad/s command (1.5 s segments)",
+                 "sign-flipping +-1.5 rad/s command (1.5 s segments); "
+                 "measured: yaw_err_p90 0.057 rad, swing 2.20 rad, "
+                 "z_min 0.218, dones 1.25%",
         extra_metrics=_turn_metrics,
     ),
     "go2_crate": Gate(

@@ -210,3 +210,54 @@ def _open_writer(out: str, fps: float, width: int, height: int):
     raise ValueError(
         f"unsupported output extension on {out!r}: use .mp4 or .gif"
     )
+
+
+def view_trajectory(
+    scene: str,
+    qpos: np.ndarray,
+    dt: float,
+    loop: bool = True,
+):
+    """Interactive replay viewer — the C14 live-window equivalent
+    (mujoco-sim.h:126-174: GLFW window, mouse camera, real-time stepping)
+    for workstation users with a display.
+
+    Uses mujoco.viewer.launch_passive (which owns the GLFW window, camera
+    and mouse/keyboard handlers, like the reference's MujocoEnvironment) and
+    drives qpos kinematically at the recording's control period — the same
+    replay semantics as dial-core-simulate.cpp:173-214, which indexes the
+    stored plan by wall time.  Headless environments (every TPU pod) should
+    use render_trajectory instead; this raises a clean error when no display
+    is available.
+    """
+    import time
+
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        raise RuntimeError(
+            "no display (DISPLAY/WAYLAND_DISPLAY unset) — interactive "
+            "viewing needs a workstation; use `cli render` for headless MP4"
+        )
+    # the viewer needs a windowing GL backend, not the headless EGL default
+    os.environ["MUJOCO_GL"] = "glfw"
+    import mujoco
+    import mujoco.viewer
+
+    from tpu_dialmpc.dynamics import assets
+
+    m = assets.load_mj_model(scene)
+    d = mujoco.MjData(m)
+    with mujoco.viewer.launch_passive(m, d) as viewer:
+        while viewer.is_running():
+            t0 = time.time()
+            for t in range(qpos.shape[0]):
+                if not viewer.is_running():
+                    return
+                d.qpos[: qpos.shape[1]] = qpos[t]
+                mujoco.mj_forward(m, d)
+                viewer.sync()
+                # real-time pacing against the recording clock
+                lag = t0 + (t + 1) * dt - time.time()
+                if lag > 0:
+                    time.sleep(lag)
+            if not loop:
+                return
