@@ -66,17 +66,28 @@ def run_quality(names, out_path):
 
 
 def _cpu_mesh_rows():
-    """Run scaling_report on a fake 8-device CPU mesh in a subprocess."""
+    """Run scaling_report on a fake 8-device CPU mesh in a subprocess.
+
+    Uses the structural stub env: on a host where all virtual devices share
+    the same cores (this box has ONE), mesh rows validate that the
+    collective layout runs at every mesh size — they cannot measure real
+    scaling efficiency (that is the TPU section's job)."""
     code = (
-        "import json\n"
+        "import json, sys\n"
+        "sys.path.insert(0, 'tests')\n"
+        "from stub_env import StubFusedEnv\n"
         "from tpu_dialmpc.shard.scaling import scaling_report\n"
-        "rows = scaling_report(nsample=512, mesh_sizes=[1, 2, 4, 8])\n"
+        "rows = scaling_report(nsample=512, mesh_sizes=[1, 2, 4, 8],\n"
+        "                      env=StubFusedEnv(fused=False))\n"
         "print('ROWS=' + json.dumps(rows))\n"
     )
     env = dict(
         os.environ,
         TPU_DIALMPC_PLATFORM="cpu",
-        TPU_DIALMPC_NO_CACHE="1",
+        # host-feature-partitioned cache (same rationale as tests/conftest)
+        TPU_DIALMPC_CACHE_DIR=os.path.expanduser(
+            "~/.cache/tpu_dialmpc_test_xla"
+        ),
         XLA_FLAGS=(
             os.environ.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=8"
@@ -108,7 +119,12 @@ def run_scaling(out_path):
     }
     try:
         doc["cpu_mesh_8dev"] = {
-            "platform": "cpu (8 virtual devices, Nsample=512)",
+            "platform": (
+                "cpu (8 virtual devices on a 1-core host, stub env, "
+                "Nsample=512) — collective-layout validation only; "
+                "virtual devices share the core, so efficiency-vs-linear "
+                "is not a hardware scaling measurement"
+            ),
             "rows": _cpu_mesh_rows(),
         }
     except Exception as e:
