@@ -181,6 +181,27 @@ def run_roofline(task="go2_stand", nsample=2048, hsample=20, n_substeps=8):
     }
 
 
+def _child_env() -> dict:
+    """Environment for bench subprocesses (probe + measurement child).
+
+    When the run is pinned to CPU (JAX_PLATFORMS / TPU_DIALMPC_PLATFORM),
+    drop PALLAS_AXON_POOL_IPS so the axon sitecustomize skips TPU-plugin
+    registration in the child: that registration dials the tunnel relay and
+    costs ~110 s of pure waiting per interpreter — paid even by processes
+    that will never touch the TPU.
+    """
+    import os
+
+    env = dict(os.environ)
+    pinned_cpu = (
+        env.get("JAX_PLATFORMS") == "cpu"
+        or env.get("TPU_DIALMPC_PLATFORM") == "cpu"
+    )
+    if pinned_cpu:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
 def _backend_probe_ok(timeout_s: float | None = None) -> bool:
     """Probe JAX backend init in a subprocess with a hard timeout.
 
@@ -212,6 +233,7 @@ def _backend_probe_ok(timeout_s: float | None = None) -> bool:
         start_new_session=True,
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
+        env=_child_env(),
     )
     try:
         return p.wait(timeout=timeout_s) == 0
@@ -292,6 +314,7 @@ if __name__ == "__main__":
         start_new_session=True,
         stdout=subprocess.PIPE,
         text=True,
+        env=_child_env(),
     )
     try:
         stdout, _ = p.communicate(timeout=_budget_s)

@@ -25,10 +25,12 @@ def test_bench_measurement_timeout_reports_last_known_good():
     # and this test would exercise the wrong fallback shape
     env["JAX_PLATFORMS"] = "cpu"
     env["TPU_DIALMPC_PLATFORM"] = "cpu"
-    # generous probe budget: under a parallel (-n 4) test lane the probe's
-    # jax import alone can take >120 s, which would flip this test onto the
-    # wedged-probe path instead of the measurement-timeout path under test
-    env["TPU_DIALMPC_BENCH_PROBE_TIMEOUT"] = "300"  # probe passes (CPU jax)
+    # skip axon TPU-plugin registration in every spawned interpreter: it
+    # dials the tunnel relay (~110 s of waiting per process) and this test
+    # exercises bench.py's watchdog logic, not the tunnel
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # generous probe budget in case of external load on this 1-core box
+    env["TPU_DIALMPC_BENCH_PROBE_TIMEOUT"] = "120"  # probe passes (CPU jax)
     env["TPU_DIALMPC_BENCH_TIMEOUT"] = "1"  # child can never finish in 1 s
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -50,6 +52,9 @@ def test_bench_wedged_backend_reports_last_known_good():
     # a 1-second probe budget is shorter than any jax import: the probe
     # subprocess always times out, which is exactly the wedged-tile shape
     env["TPU_DIALMPC_BENCH_PROBE_TIMEOUT"] = "1"
+    # keep the parent bench.py interpreter itself off the tunnel relay
+    # (sitecustomize registration costs ~110 s per process)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=REPO,

@@ -39,6 +39,9 @@ def test_two_process_distributed_reverse_once(tmp_path, env_kind):
     env_base = dict(os.environ)
     env_base.pop("JAX_PLATFORMS", None)
     env_base["JAX_PLATFORMS"] = "cpu"
+    # CPU workers must not register the axon TPU plugin: sitecustomize's
+    # register() dials the tunnel relay (~110 s of waiting per interpreter)
+    env_base.pop("PALLAS_AXON_POOL_IPS", None)
     env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     # workers share the host-tagged test cache (see conftest) — the h1
     # case's crate-scene step is ~10 min of XLA:CPU compile when cold

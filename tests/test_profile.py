@@ -29,9 +29,23 @@ def test_count_fused_ops_traces_substep():
     assert again["vector_ops_per_substep"] == counts["vector_ops_per_substep"]
 
 
+def test_crate_scene_has_more_contact_slots():
+    """Fast structural signal: the crate scene's cross-tree contacts
+    (robot<->crate cliques) appear as extra narrowphase slots in the fused
+    meta — the quantity that drives the traced-op count the roofline uses.
+    (The full traced-graph comparison is the slow variant below.)"""
+    from tpu_dialmpc.dynamics import fused
+
+    go2 = fused._meta(get_env("go2_stand").model)
+    crate = fused._meta(get_env("go2_crate").model)
+    assert len(crate.contact_slots) > len(go2.contact_slots)
+
+
+@pytest.mark.slow
 def test_crate_scene_costs_more_ops():
     """Cross-tree contacts (robot<->crate cliques) must show up in the
-    analytic op count — the roofline for crate tasks uses it."""
+    analytic op count — the roofline for crate tasks uses it.  Slow: the
+    crate substep traces to a ~190k-eqn scalar graph (~30 s on CPU)."""
     go2 = prof.count_fused_ops(get_env("go2_stand").model)
     crate = prof.count_fused_ops(get_env("go2_crate").model)
     assert (
