@@ -47,6 +47,31 @@ def test_bench_measurement_timeout_reports_last_known_good():
     assert lkg["unit"] == "ms/iteration" and lkg["value"] > 0
 
 
+def test_child_env_strips_axon_registration_only_when_cpu_pinned(monkeypatch):
+    """bench subprocesses must skip the axon TPU-plugin registration (a
+    ~110 s relay dial per interpreter) when the run is CPU-pinned, and must
+    NOT strip it for a production TPU run."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("TPU_DIALMPC_PLATFORM", raising=False)
+    assert "PALLAS_AXON_POOL_IPS" in bench._child_env()  # TPU run: keep
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert "PALLAS_AXON_POOL_IPS" not in bench._child_env()
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("TPU_DIALMPC_PLATFORM", "cpu")
+    assert "PALLAS_AXON_POOL_IPS" not in bench._child_env()
+
+
 def test_bench_wedged_backend_reports_last_known_good():
     env = dict(os.environ)
     # a 1-second probe budget is shorter than any jax import: the probe
