@@ -83,9 +83,15 @@ Ybar = jnp.asarray(
 )
 scale = jnp.full(cfg.Hnode + 1, 0.3)
 
-y, info = jax.jit(planner.reverse_once)(
-    state, jax.random.PRNGKey(7), Ybar, scale
-)
+# AOT-compile BEFORE the first collective execution, then barrier: Gloo
+# contexts form lazily at the first collective with a hard-coded ~30 s
+# key-exchange deadline, and cold XLA:CPU compiles of the real-physics
+# planner exceed that skew on a contended 1-core host (see
+# shard.distributed.barrier).  Compilation itself runs no collectives.
+key = jax.random.PRNGKey(7)
+compiled = jax.jit(planner.reverse_once).lower(state, key, Ybar, scale).compile()
+distributed.barrier("reverse_once_compiled")
+y, info = compiled(state, key, Ybar, scale)
 # the control update is replicated (the sample axis is fully reduced), so
 # every process holds the complete value; the per-candidate rewards stay
 # sharded across processes and need an explicit allgather

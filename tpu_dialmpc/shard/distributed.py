@@ -46,6 +46,29 @@ def initialize(
             raise
 
 
+def barrier(name: str, timeout_s: float = 1200.0) -> None:
+    """Block until every process reaches this barrier (coordination service).
+
+    Use before the FIRST collective execution after heavy per-process work
+    (XLA compiles, data loading).  Rationale: CPU Gloo contexts are created
+    lazily at the first collective with a hard-coded ~30 s key-exchange
+    deadline (xla gloo_kv_store); if one process reaches the collective while
+    a peer is still compiling — trivially >30 s skew for cold planner graphs
+    on a contended host — the fast process dies with
+    "Gloo context initialization failed: DEADLINE_EXCEEDED".  The
+    coordination-service barrier used here has a configurable timeout, so
+    arbitrarily skewed compile times collapse to a synchronized entry into
+    the Gloo exchange.  (TPU pods don't need this — collectives ride ICI via
+    the TPU runtime — but it is harmless there.)
+    """
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:  # single-process: nothing to synchronize
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def make_multihost_mesh() -> Mesh:
     """("dcn", "sample") mesh: hosts on the dcn axis, local chips on sample.
 
