@@ -147,3 +147,55 @@ def test_turn_schedule_sign_flip_and_integrated_yaw_target():
     np.testing.assert_allclose(
         yaw_tars, np.cumsum(vyaws * env.dt), atol=1e-5
     )
+
+
+def test_termination_breakdown_per_cause():
+    """Each of the three done predicates (unitree-go2-env.h:561-589) is
+    attributed to the right cause, and the recomputed OR matches what the
+    env's own _post_physics would flag for the same qpos rows."""
+    from tpu_dialmpc.quality import termination_breakdown
+
+    env = get_env("go2_stand")
+    home = np.asarray(env._init_q)
+
+    ok = home.copy()                       # healthy standing pose
+    low = home.copy()
+    low[2] = 0.17                          # below the 0.18 floor
+    inv = home.copy()
+    inv[3:7] = [0.0, 1.0, 0.0, 0.0]        # 180-degree roll: upside down
+    oor = home.copy()
+    oor[8] = env.joint_range[1, 1] + 0.05  # FR thigh past its range
+
+    qpos = np.stack([ok, low, ok, inv, ok, oor, oor, ok])
+    b = termination_breakdown(env, qpos)
+    n = len(qpos)
+    assert b["dones_height_mean"] == 1 / n
+    assert b["dones_inverted_mean"] == 1 / n
+    assert b["dones_joint_mean"] == 2 / n
+    assert b["dones_recomputed_mean"] == 4 / n
+    assert b["done_run_max"] == 2.0        # the two consecutive oor rows
+    assert b["joint_graze_rates"][1] == round(2 / n, 4)
+    assert sum(b["joint_graze_rates"]) == b["joint_graze_rates"][1]
+
+
+def test_termination_breakdown_matches_env_done():
+    """The recomputed OR equals the env step's done flag on real dynamics
+    (drop from above so the trajectory crosses the height floor)."""
+    import jax
+
+    from tpu_dialmpc.quality import termination_breakdown
+
+    env = get_env("go2_stand", n_substeps=8)
+    state = env.reset(jax.random.PRNGKey(0))
+    # start a bit low so passive sinking trips z < 0.18 within the horizon
+    qpos = state.pipeline.qpos.at[2].set(0.21)
+    state = state._replace(pipeline=state.pipeline._replace(qpos=qpos))
+    step = jax.jit(env.step)
+    qs, dones = [], []
+    for _ in range(25):
+        state = step(state, jnp.full(env.action_size, -0.3))
+        qs.append(np.asarray(state.pipeline.qpos))
+        dones.append(bool(state.done))
+    b = termination_breakdown(env, np.stack(qs))
+    assert any(dones), "probe never terminated; thresholds unexercised"
+    assert b["dones_recomputed_mean"] == np.mean(dones)

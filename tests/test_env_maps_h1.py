@@ -174,3 +174,28 @@ def test_h1_observation_size_matches_obs():
     env = get_env("h1_walk")
     state = env.reset(jax.random.PRNGKey(0))
     assert state.obs.shape == (env.observation_size,)
+
+
+def test_termination_breakdown_h1_dispatch():
+    """H1 branch: physical ranges with the 0.05 rad soft-limit margin and
+    the 0.5 m pelvis floor (envs/h1.py termination block)."""
+    import numpy as np
+
+    from tpu_dialmpc.quality import termination_breakdown
+
+    env = get_env("h1_walk")
+    home = np.asarray(env._init_q, dtype=float)
+    ok = home.copy()
+    low = home.copy()
+    low[2] = 0.49
+    graze = home.copy()  # inside the margin: NOT a termination
+    qadr = np.asarray(env._act_qadr)
+    graze[qadr[0]] = env.physical_joint_range[0, 1] + 0.03
+    oor = home.copy()
+    oor[qadr[0]] = env.physical_joint_range[0, 1] + 0.07
+
+    b = termination_breakdown(env, np.stack([ok, low, graze, oor]))
+    assert b["dones_height_mean"] == 0.25
+    assert b["dones_joint_mean"] == 0.25
+    assert b["dones_inverted_mean"] == 0.0
+    assert b["dones_recomputed_mean"] == 0.5

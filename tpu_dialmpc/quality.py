@@ -40,6 +40,61 @@ def _crate_disp(qpos):
     return {"crate_disp": float(qpos[-1, 26] - qpos[0, 26])}
 
 
+def termination_breakdown(env, qpos) -> Dict[str, float]:
+    """Per-cause termination rates recomputed from the executed trajectory.
+
+    The reference's done flag is the OR of three predicates
+    (unitree-go2-env.h:561-589): torso inverted, any joint outside its
+    range, torso below the height floor.  The env returns only the OR;
+    this recomputes each predicate from qpos (all three are qpos-only for
+    a root freejoint body) so quality gates can distinguish a benign
+    joint-range graze from a fall.  Matches envs/go2.py and envs/h1.py
+    _post_physics exactly (H1: physical ranges with the 0.05 rad soft-limit
+    margin, z floor 0.5; Go2: action ranges, z floor 0.18).
+
+    Returns rates plus `done_run_max`, the longest consecutive run of done
+    steps — 1 means every flag was a single-step transient with instant
+    recovery.
+    """
+    qpos = np.asarray(qpos)
+    quat = qpos[:, 3:7]
+    # world-z component of the rotated up axis = R[2,2] = 1 - 2(qx^2+qy^2)
+    up_z = 1.0 - 2.0 * (quat[:, 1] ** 2 + quat[:, 2] ** 2)
+    inverted = up_z < 0.0
+
+    if hasattr(env, "_act_qadr"):  # H1 (envs/h1.py termination block)
+        jr = np.asarray(env.physical_joint_range)
+        tol = 0.05
+        joints = qpos[:, np.asarray(env._act_qadr)]
+        z_floor = 0.5
+    else:  # Go2 (envs/go2.py:386-396)
+        jr = np.asarray(env.joint_range)
+        tol = 0.0
+        joints = qpos[:, 7 : 7 + env.model.nu]
+        z_floor = 0.18
+    oor_per_joint = (joints < jr[:, 0] - tol) | (joints > jr[:, 1] + tol)
+    out_of_range = oor_per_joint.any(axis=1)
+    low = qpos[:, 2] < z_floor
+    done = inverted | out_of_range | low
+
+    # longest consecutive done run (0 when no step flagged)
+    run_max = run = 0
+    for d in done:
+        run = run + 1 if d else 0
+        run_max = max(run_max, run)
+
+    # which joints graze (diagnostic: index into the actuated-joint order)
+    worst = oor_per_joint.mean(axis=0)
+    return {
+        "dones_recomputed_mean": float(done.mean()),
+        "dones_inverted_mean": float(inverted.mean()),
+        "dones_joint_mean": float(out_of_range.mean()),
+        "dones_height_mean": float(low.mean()),
+        "done_run_max": float(run_max),
+        "joint_graze_rates": [round(float(r), 4) for r in worst],
+    }
+
+
 def _turn_metrics(qpos):
     """Heading-tracking metrics for go2_turn (must mirror the registry's
     turn task: vyaw=1.5, turn_period=75, ramp 1 s, ctrl_dt 0.02)."""
@@ -155,6 +210,9 @@ def run_gate(name: str) -> Dict:
         "dones_mean": float(dones.mean()),
         "reward_mean": float(rewards.mean()),
     }
+    causes = termination_breakdown(env, qpos)
+    joint_graze = causes.pop("joint_graze_rates")
+    metrics.update(causes)
     if g.extra_metrics:
         metrics.update(g.extra_metrics(qpos))
     checks = []
@@ -170,6 +228,7 @@ def run_gate(name: str) -> Dict:
         "task": g.task,
         "n_steps": g.n_steps,
         "metrics": metrics,
+        "joint_graze_rates": joint_graze,
         "checks": checks,
         "passed": all(c["passed"] for c in checks),
         "recorded": g.recorded,
