@@ -166,18 +166,32 @@ def run_roofline(task="go2_stand", nsample=2048, hsample=20, n_substeps=8):
         task=task, nsample=nsample, n_substeps=n_substeps, hsample=hsample
     )
     frac = roof["fraction_of_roof"]
+    attempts_ms = sorted(roof["measured_ms_attempts"])
+    med_ms = attempts_ms[len(attempts_ms) // 2]
     return {
         "metric": f"{task}_fused_rollout_vpu_roofline_N{nsample}",
         "value": round(frac, 3),
         "unit": "fraction_of_vpu_roof",
         "vs_baseline": round(frac, 3),  # target = 1.0 (speed of light)
         # roof provenance: independent microbenchmarks, not kernel-tuned
-        # constants (telemetry/profile.py module docstring)
+        # constants (telemetry/profile.py module docstring).  The post-raise
+        # roof (measured_peak_gops) is published NEXT TO the raw microbench
+        # roof and the raised? flag so a capped fraction ~1.0 is
+        # distinguishable from a genuine speed-of-light kernel, and the
+        # per-attempt spread makes the single-sample row auditable.
         "measured_peak_gops": round(roof["measured_peak_gops"], 2),
+        "microbench_peak_gops": round(roof["microbench_peak_gops"], 2),
+        "roof_raised_by_kernel_evidence": roof["roof_raised_by_kernel_evidence"],
         "measured_hbm_gbps": round(roof["measured_hbm_gbps"], 1),
         "bound": roof["bound"],
         "ideal_ms": round(roof["ideal_vpu_ms"], 3),
         "measured_ms": round(roof["measured_ms"], 3),
+        "measured_ms_attempts": [round(s, 3) for s in attempts_ms],
+        # fraction at the median attempt (the min is the capability
+        # estimate; the median shows what a typical window would report)
+        "fraction_at_median_attempt": round(
+            frac * roof["measured_ms"] / med_ms, 3
+        ),
     }
 
 

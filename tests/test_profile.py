@@ -92,3 +92,46 @@ def test_phase_timings_shape_tiny():
     # are noisy (observed: rollout_ms 22 vs reverse_once_ms 9 under a
     # concurrent test lane); this asserts structure, not performance.
     assert out["rollout_ms"] <= out["reverse_once_ms"] * 4.0 + 10.0
+
+
+def test_amortized_attempts_spread():
+    """return_attempts exposes every attempt's slope; min(attempts) is the
+    returned capability estimate (BENCH provenance: the spread is published
+    next to the single number)."""
+    import jax.numpy as jnp
+
+    from tpu_dialmpc.telemetry import profile as prof
+
+    sec, attempts = prof._amortized(
+        lambda acc: acc + jnp.float32(1), (), r_lo=1, r_hi=4, reps=1,
+        attempts=3, return_attempts=True,
+    )
+    assert len(attempts) == 3
+    assert sec == min(attempts)
+    assert all(a > 0 for a in attempts)
+
+
+def test_bench_roofline_provenance_fields(monkeypatch):
+    """bench.run_roofline forwards the raw microbench roof, the raised? flag,
+    and the per-attempt spread (round-3 audit: BENCH dropped them, so a
+    capped fraction ~1.0 was indistinguishable from a real one)."""
+    import bench
+
+    fake = {
+        "fraction_of_roof": 0.9,
+        "measured_peak_gops": 4.4e0, "microbench_peak_gops": 4.0,
+        "roof_raised_by_kernel_evidence": True,
+        "measured_hbm_gbps": 600.0, "bound": "compute",
+        "ideal_vpu_ms": 2.5, "measured_ms": 2.78,
+        "measured_ms_attempts": [3.1, 2.78, 2.9],
+    }
+    monkeypatch.setattr(
+        "tpu_dialmpc.telemetry.profile.fused_kernel_roofline",
+        lambda **kw: dict(fake),
+    )
+    row = bench.run_roofline()
+    assert row["microbench_peak_gops"] == 4.0
+    assert row["roof_raised_by_kernel_evidence"] is True
+    assert row["measured_ms_attempts"] == [2.78, 2.9, 3.1]
+    # fraction at the median attempt: ideal/median = 0.9 * 2.78 / 2.9
+    assert abs(row["fraction_at_median_attempt"] - 0.863) < 1e-9

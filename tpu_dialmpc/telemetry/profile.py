@@ -54,7 +54,8 @@ import numpy as np
 # fraction <= 1.0 by physical argument, not by tuning.
 
 
-def _amortized(fn, args, r_lo=2, r_hi=18, reps=7, attempts=1, settle_s=0.0):
+def _amortized(fn, args, r_lo=2, r_hi=18, reps=7, attempts=1, settle_s=0.0,
+               return_attempts=False):
     """Per-call seconds of `fn` via chain-length slope (excludes round trip).
 
     Min-of-reps at each chain length: interference on the time-shared tile
@@ -63,7 +64,11 @@ def _amortized(fn, args, r_lo=2, r_hi=18, reps=7, attempts=1, settle_s=0.0):
     median worth ~12% of a 2.5 ms kernel.  `attempts` repeats the whole
     slope measurement (compiled chain reused) separated by `settle_s`,
     taking the min slope — widens the quiet-window search when tile
-    interference is bursty on the scale of seconds."""
+    interference is bursty on the scale of seconds.
+
+    `return_attempts=True` additionally returns every attempt's slope so
+    callers can publish the run-to-run spread (BENCH provenance: a single
+    reported number on a time-shared tile invites cherry-picking)."""
 
     @functools.partial(jax.jit, static_argnames=("r",))
     def chain(r, *a):
@@ -92,6 +97,8 @@ def _amortized(fn, args, r_lo=2, r_hi=18, reps=7, attempts=1, settle_s=0.0):
         slopes.append(
             max(timed(r_hi) - timed(r_lo), 1e-9) / (r_hi - r_lo)
         )
+    if return_attempts:
+        return min(slopes), slopes
     return min(slopes)
 
 
@@ -237,9 +244,9 @@ def fused_kernel_roofline(task: str = "go2_stand", nsample: int = 2048,
             raise RuntimeError("fused path unavailable (CPU backend?)")
         return acc + rews.mean()
 
-    sec = _amortized(
+    sec, sec_attempts = _amortized(
         lambda acc: one(jax.random.PRNGKey(1), acc), (),
-        attempts=3, settle_s=5.0,
+        attempts=3, settle_s=5.0, return_attempts=True,
     )
     counts = count_fused_ops(env.model, n_substeps)
     substeps_total = (hsample + 1) * n_substeps
@@ -265,6 +272,9 @@ def fused_kernel_roofline(task: str = "go2_stand", nsample: int = 2048,
         "nsample": nsample,
         "n_substeps": n_substeps,
         "measured_ms": 1e3 * sec,
+        # every attempt's slope (ms): the run-to-run spread on the
+        # time-shared tile, published so a single BENCH row is auditable
+        "measured_ms_attempts": [1e3 * s for s in sec_attempts],
         "vector_ops_per_substep": counts["vector_ops_per_substep"],
         "arith_ops_per_substep": counts["arith_ops_per_substep"],
         "measured_peak_gops": peak / 1e9,
