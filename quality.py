@@ -105,6 +105,108 @@ def _cpu_mesh_rows():
     )
 
 
+def _cpu_collective_overhead():
+    """Measure sharded-vs-unsharded overhead at identical total workload in
+    a CPU subprocess (see shard/scaling.py:collective_overhead_report)."""
+    code = (
+        "import json, sys\n"
+        "sys.path.insert(0, 'tests')\n"
+        "from stub_env import StubFusedEnv\n"
+        "from tpu_dialmpc.shard.scaling import collective_overhead_report\n"
+        "row = collective_overhead_report(nsample=512, n_devices=8,\n"
+        "                                 env=StubFusedEnv(fused=False))\n"
+        "print('ROW=' + json.dumps(row))\n"
+    )
+    env = dict(
+        os.environ,
+        TPU_DIALMPC_PLATFORM="cpu",
+        TPU_DIALMPC_CACHE_DIR=os.path.expanduser(
+            "~/.cache/tpu_dialmpc_test_xla"
+        ),
+        XLA_FLAGS=(
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip(),
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, timeout=3600,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("ROW="):
+            return json.loads(line[4:])
+    raise RuntimeError(
+        f"collective overhead failed (rc={p.returncode}): {p.stderr[-500:]}"
+    )
+
+
+def _predicted_efficiency():
+    """Predicted multi-host efficiency rows from MEASURED inputs:
+
+    - per-chip compute_ms: BENCH_LAST_GOOD's real-TPU iteration times
+      (config #4's per-chip share, 16384/8 chips = 2048/chip, is exactly
+      the measured headline row);
+    - config #5 (H1 whole-body, 8192 samples/chip, Hsample=32) compute is
+      the measured go2 Nsample=16384 row rescaled by batch, horizon, and
+      the traced per-substep arithmetic-op ratio of the two fused kernels
+      (telemetry/profile.py:count_fused_ops — a trace-time count, not a
+      guess);
+    - payload: the weighted-update psum + scalar logsumexp/std psums.
+
+    The DCN per-hop latency cannot be measured from one chip; rows span a
+    conservative latency grid (50 us ICI-like .. 1 ms WAN-like).  Formula
+    in shard/scaling.py:predicted_efficiency_rows and docs/OPERATIONS.md.
+    """
+    from tpu_dialmpc.shard.scaling import predicted_efficiency_rows
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST_GOOD.json")) as f:
+        bench = json.load(f)
+    if bench.get("platform") == "cpu":
+        raise RuntimeError("BENCH_LAST_GOOD is not a TPU measurement")
+    ms_2048 = bench["value"]
+    ms_16384 = next(
+        e["value"] for e in bench["extra"] if "N16384" in e["metric"]
+    )
+
+    out = {}
+    # config #4: go2 agility, Nsample=16384 over 8 chips -> 2048/chip
+    out["config4_go2_agility_8chip"] = {
+        "per_chip_compute_ms": ms_2048,
+        "payload_bytes": (5 + 1) * 12 * 4 + 32,
+        "rows": predicted_efficiency_rows(
+            compute_ms=ms_2048, payload_bytes=(5 + 1) * 12 * 4 + 32,
+            n_hosts_list=(1, 2, 4, 8),
+        ),
+    }
+    # config #5: H1 whole-body, Nsample=131072 over 16 chips -> 8192/chip
+    from tpu_dialmpc.envs import get_env
+    from tpu_dialmpc.telemetry.profile import count_fused_ops
+
+    ops_h1 = count_fused_ops(
+        get_env("h1_push_crate", n_substeps=8).model
+    )["arith_ops_per_substep"]
+    ops_go2 = count_fused_ops(
+        get_env("go2_stand", n_substeps=8).model
+    )["arith_ops_per_substep"]
+    h1_ms = ms_16384 * (8192 / 16384) * (33 / 21) * (ops_h1 / ops_go2)
+    out["config5_h1_multihost_16chip"] = {
+        "per_chip_compute_ms": round(h1_ms, 3),
+        "compute_basis": {
+            "go2_N16384_ms": ms_16384,
+            "arith_ops_per_substep_h1": ops_h1,
+            "arith_ops_per_substep_go2": ops_go2,
+        },
+        "payload_bytes": (8 + 1) * 19 * 4 + 32,
+        "rows": predicted_efficiency_rows(
+            compute_ms=h1_ms, payload_bytes=(8 + 1) * 19 * 4 + 32,
+            n_hosts_list=(1, 2, 4, 8, 16),
+        ),
+    }
+    return out
+
+
 def run_scaling(out_path):
     import jax
 
@@ -129,6 +231,14 @@ def run_scaling(out_path):
         }
     except Exception as e:
         doc["cpu_mesh_8dev"] = {"error": str(e)[:500]}
+    try:
+        doc["collective_overhead_cpu_mesh"] = _cpu_collective_overhead()
+    except Exception as e:
+        doc["collective_overhead_cpu_mesh"] = {"error": str(e)[:500]}
+    try:
+        doc["predicted_multihost"] = _predicted_efficiency()
+    except Exception as e:
+        doc["predicted_multihost"] = {"error": str(e)[:500]}
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc["native"]))
