@@ -275,3 +275,62 @@ def test_jax_matches_compiled_reference_benchmark_scale(oracle_benchmark):
     # post-step qpos are then one-env-step quantities
     np.testing.assert_allclose(j["reward"], o["reward"], atol=1e-6)
     np.testing.assert_allclose(j["qpos"], o["qpos"], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def oracle_reference_batch(scene_xml, tmp_path_factory):
+    # the reference benchmark's OWN batch size (dial-core-test.cpp:11:
+    # Nsample=2048) at benchmark geometry — ~0.77M sequential mj_steps in
+    # the C++ driver, the literal north-star workload
+    return pn.run_shim(
+        tmp_path_factory.mktemp("refbatch"), scene_xml,
+        Hsample=25, Hnode=5, Nsample=2048, Ndiffuse=2, Ndiffuse_init=10,
+        n_steps=3, seed=0, warmstart=False,
+    )
+
+
+@pytest.mark.slow
+def test_jax_matches_compiled_reference_full_batch(oracle_reference_batch):
+    """Per-decision parity vs the binary at the reference's OWN sample count
+    (Nsample=2048, dial-core-test.cpp:11) — the round-3 audit's missing
+    workload: at 2048 the softmax is far sharper (temp 0.05 over 2049
+    candidates) and the Q1 chain is 32x longer than the Nsample=64 test.
+
+    Same resync harness as benchmark-scale: every anneal adopts the
+    binary's entry state and warm trajectory, so each comparison is one
+    decision over identical inputs (2049 Q1-chained 26-step rollouts).
+    14 anneals = 10 (Ndiffuse_init at t=0) + 2 + 2.
+    """
+    o = oracle_reference_batch
+    assert o["meta"]["Nsample"] == 2048 and o["meta"]["n_anneals"] == 14
+    cfg = _cfg(Hsample=25, Hnode=5, Nsample=2048, Ndiffuse_init=10)
+    j = _drive_jax_vs_oracle(cfg, _parity_env(), o, resync=True)
+
+    rew_diff = np.abs(j["rews"] - o["rews"]).max(axis=1)
+    print("per-anneal reward diff: median", np.median(rew_diff),
+          "p90", np.quantile(rew_diff, 0.9), "max", rew_diff.max())
+    assert np.median(rew_diff) < 1e-4, rew_diff
+    assert (rew_diff < 1e-3).mean() >= 0.8, rew_diff
+
+    jx = j["rews"].argmax(axis=1)
+    ox = o["rews"].argmax(axis=1)
+    match = (jx == ox).mean()
+    print("argmax candidate match rate:", match)
+    # 2049 candidates compete much more closely than 65; decisions whose
+    # top-2 gap is inside the engines' reward tolerance legitimately flip
+    assert match >= 0.75, (match, list(zip(jx, ox)))
+
+    node_diff = np.abs(j["nodes"] - o["nodes"]).max(axis=(1, 2))
+    w_sorted = np.sort(j["weights"], axis=1)
+    gaps = np.log(w_sorted[:, -1] + 1e-300) - np.log(w_sorted[:, -2] + 1e-300)
+    clear = gaps > 1.0
+    print("node diff: clear-gap max",
+          node_diff[clear].max() if clear.any() else "n/a",
+          "(n_clear=", int(clear.sum()), "/", len(clear), ") overall max",
+          node_diff.max())
+    if clear.any():
+        assert node_diff[clear].max() < 1e-3, node_diff[clear]
+    assert node_diff.max() < 5e-2, node_diff
+
+    np.testing.assert_allclose(j["reward"], o["reward"], atol=1e-6)
+    np.testing.assert_allclose(j["qpos"], o["qpos"], atol=1e-6)

@@ -275,12 +275,14 @@ def test_step_trajectory_parity_h1_push_crate():
     errs = np.array(errs)
     print("h1-crate per-step qvel err: median %.2e p90 %.2e max %.2e" % (
         np.median(errs), np.quantile(errs, 0.9), errs.max()))
-    # recorded distribution after the plane-capsule frame fix: median
-    # 2.8e-14, p90 9.2e-4, max 0.18 with 15/150 steps >1e-3 — the residual
-    # tail is near-margin activation flips of the (capsule-footed) biped's
-    # grazing contacts, not manifold shape (sets/params verified identical)
+    # The former 15/150-step tail (max 0.18) was root-caused in round 4:
+    # _capsule_box emitted the SAME contact twice (segment slot converged to
+    # the endpoint slot) for the knee capsule vs the crate, doubling the
+    # impulse where MuJoCo emits one contact.  With the duplicate slot
+    # deactivated (collision._capsule_box dedupe) the measured distribution
+    # is median 2.8e-14, zero steps >1e-3.
     assert np.median(errs) < 1e-9, np.median(errs)
-    assert (errs > 1e-3).mean() < 0.2, (errs > 1e-3).mean()
-    assert errs.max() < 0.5, errs.max()
+    assert (errs > 1e-3).mean() == 0.0, (errs > 1e-3).mean()
+    assert errs.max() < 1e-3, errs.max()
     # the crate's own dof stays within the contact-step envelope
     assert max(crate_errs) < 1e-2, max(crate_errs)

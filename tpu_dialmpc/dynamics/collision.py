@@ -236,7 +236,15 @@ def _capsule_capsule(p1, m1, s1, p2, m2, s2):
 
 
 def _capsule_box(cpos, cmat, csize, bpos, bmat, bsize):
-    """Two approximate contacts: deepest segment point + deeper endpoint."""
+    """Two approximate contacts: deepest segment point + deeper endpoint.
+
+    When the deepest segment point converges TO an endpoint (a capsule
+    hitting the box end-on — the common case for knee/calf capsules vs the
+    crate), the two slots would be the SAME contact twice, doubling the
+    impulse; MuJoCo emits one contact there (measured: the duplicated row
+    was the entire h1-crate parity tail, per-step qvel err up to 0.18).
+    The endpoint slot is deactivated (dist=+1) when it coincides with the
+    segment slot."""
     r, half = csize[0], csize[1]
     axis = cmat[..., :, 2]
     a, b = cpos - half * axis, cpos + half * axis
@@ -254,6 +262,9 @@ def _capsule_box(cpos, cmat, csize, bpos, bmat, bsize):
     c1 = tuple(
         jnp.where(deeper > 0.5, xa, xb) for xa, xb in zip(da[:3], db[:3])
     )
+    end = jnp.where(deeper > 0.5, a, b)
+    dup = jnp.sum((seg - end) ** 2) < 1e-12
+    c1 = (jnp.where(dup, jnp.ones_like(c1[0]), c1[0]), c1[1], c1[2])
     return [c0, c1]
 
 

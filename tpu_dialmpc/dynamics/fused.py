@@ -1031,6 +1031,24 @@ def _contact_geometry(model, fk, slot):
             d = swhere(deeper, da[0], db[0])
             pos = tuple(swhere(deeper, da[1][i], db[1][i]) for i in range(3))
             n_world = tuple(swhere(deeper, da[2][i], db[2][i]) for i in range(3))
+            # dedupe vs slot 0 (collision._capsule_box): when the deepest
+            # segment point converges to this endpoint the two slots are the
+            # same contact — deactivate this one (XLA CSEs the repeated
+            # projection sweep with slot 0's)
+            seg = p1
+            p = p2
+            sz = tuple(float(s) for s in size2[:3])
+            for _ in range(4):
+                seg = _closest_on_segment_scalar(a, b, p)
+                local = m33_t_vec(m2, v3sub(seg, p2))
+                local = tuple(
+                    smin(smax(local[i], -sz[i]), sz[i]) for i in range(3)
+                )
+                p = v3add(p2, m33_vec(m2, local))
+            end = tuple(swhere(deeper, a[i], b[i]) for i in range(3))
+            gap = v3sub(seg, end)
+            dup = ssum([smul(gap[i], gap[i]) for i in range(3)]) < 1e-12
+            d = swhere(dup, 1.0, d)
         return d, pos, _make_frame(v3scale(n_world, -1.0))
 
     if kind == (GEOM_BOX, GEOM_BOX):
