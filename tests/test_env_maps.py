@@ -199,3 +199,57 @@ def test_termination_breakdown_matches_env_done():
     b = termination_breakdown(env, np.stack(qs))
     assert any(dones), "probe never terminated; thresholds unexercised"
     assert b["dones_recomputed_mean"] == np.mean(dones)
+
+
+def test_done_penalty_prices_termination():
+    """done_penalty subtracts exactly its value on flagged steps and is a
+    no-op on healthy ones (and at the default 0.0 = reference semantics)."""
+    import jax
+
+    base = get_env("go2_stand", n_substeps=1)
+    pen = get_env("go2_stand", n_substeps=1, done_penalty=2.5)
+
+    s0 = base.reset(jax.random.PRNGKey(0))
+    # healthy pose: no flag, identical reward
+    a = jnp.zeros(base.action_size)
+    r0 = float(base.step(s0, a).reward)
+    r1 = float(pen.step(s0, a).reward)
+    assert r0 == r1
+
+    # force a flagged state: FR thigh past its range
+    bad_q = s0.pipeline.qpos.at[8].set(base.joint_range[1, 1] + 0.2)
+    s_bad = s0._replace(pipeline=s0.pipeline._replace(qpos=bad_q))
+    st_b = base.step(s_bad, a)
+    st_p = pen.step(s_bad, a)
+    assert bool(st_b.done) and bool(st_p.done)
+    np.testing.assert_allclose(
+        float(st_p.reward), float(st_b.reward) - 2.5, atol=1e-5
+    )
+
+
+def test_pronk_gait_all_feet_in_phase():
+    """Pronk: all four foot targets identical at every t and reaching the
+    commanded amplitude — the lift-off demand a torso can only satisfy
+    ballistically (go2_jump)."""
+    duty, cadence, amplitude = gait.GAIT_PARAMS["pronk"]
+    phases = jnp.asarray(gait.GAIT_PHASES["pronk"])
+    ts = np.linspace(0, 2.0 / cadence, 60, endpoint=False)
+    hs = np.stack(
+        [np.asarray(gait.get_foot_step(duty, cadence, amplitude, phases, t))
+         for t in ts]
+    )
+    for j in range(1, 4):
+        np.testing.assert_allclose(hs[:, 0], hs[:, j], atol=1e-7)
+    assert abs(hs.max() - amplitude) < 1e-6
+    assert (hs[:, 0] < 1e-6).mean() > 0.25  # a real stance window exists
+
+
+def test_go2_jump_registered_with_flight_gate():
+    from tpu_dialmpc.envs.registry import list_envs
+    from tpu_dialmpc.quality import GATES
+
+    assert "go2_jump" in list_envs()
+    env = get_env("go2_jump", n_substeps=8)
+    assert env.config.gait == "pronk" and env.config.done_penalty > 0
+    checks = {c[0] for c in GATES["go2_jump"].checks}
+    assert {"flight_run_max", "n_flights"} <= checks

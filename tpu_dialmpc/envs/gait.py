@@ -16,6 +16,12 @@ GAIT_PHASES = {
     "trot": (0.0, 0.5, 0.5, 0.0),
     "canter": (0.0, 0.33, 0.33, 0.66),
     "gallop": (0.0, 0.05, 0.4, 0.35),
+    # all four feet IN phase: the swing profile commands simultaneous
+    # lift-off, which the torso can only satisfy ballistically — periodic
+    # jumping (the "jump" half of BASELINE configs[3]; no reference
+    # counterpart — the reference's gait table stops at gallop,
+    # unitree-go2-env.h:758-772)
+    "pronk": (0.0, 0.0, 0.0, 0.0),
 }
 GAIT_PARAMS = {
     "stand": (1.0, 1.0, 0.0),
@@ -23,6 +29,10 @@ GAIT_PARAMS = {
     "trot": (0.45, 2.0, 0.08),
     "canter": (0.4, 4.0, 0.06),
     "gallop": (0.3, 3.5, 0.10),
+    # duty 0.4: 0.4 s of stance to load the legs per 0.67 s cycle (1.5 Hz);
+    # amplitude 0.18 m demands a real flight phase (apex ballistics ~0.16 s
+    # airborne), well past grazing-lift noise
+    "pronk": (0.4, 1.5, 0.18),
 }
 
 # biped gaits for H1 (no reference counterpart — H1 envs exist only as model

@@ -85,6 +85,17 @@ class UnitreeGo2EnvConfig:
     # (true yaw + π whenever true yaw < 0 — unitree-go2-env.h:163-170,
     # verified against Eigen bit-for-bit).  Parity tests pin "eigen".
     yaw_mode: str = "atan2"
+    # Termination-as-constraint (extension; 0 = reference semantics).  The
+    # reference accumulates rollout rewards straight past its own done
+    # predicate (dial-core.h:423-440 never reads done), so the planner
+    # happily sustains joint angles outside the narrow upstream action
+    # table — measured on fast gaits as a 19-27% per-step done-flag rate,
+    # every flag a front-thigh range graze (QUALITY_r03/r04).  A positive
+    # penalty subtracts done_penalty per flagged rollout step, making the
+    # sampler price the constraint; it applies identically in the executed
+    # step and both rollout paths (everything funnels through
+    # _post_physics).
+    done_penalty: float = 0.0
 
 
 class UnitreeGo2Env(FusedRolloutMixin):
@@ -394,6 +405,9 @@ class UnitreeGo2Env(FusedRolloutMixin):
             | out_of_range
             | (z_torso < 0.18)
         )
+        if cfg.done_penalty != 0.0:
+            # termination-as-constraint (see config docstring)
+            reward = reward - cfg.done_penalty * done.astype(dtype)
 
         # contact / air-time tracking (dead-code env UnitreeGo2Env.h:415-439)
         contact = (z_feet - self._foot_radius) < 1e-3

@@ -174,6 +174,25 @@ _register("go2_crate", _go2(
         scene="go2_force_crate",
     )
 ), _GO2_DIAL)
+# BASELINE configs[3] "fast jump" agility maneuver: pronking — the all-feet-
+# in-phase gait commands simultaneous lift-off, so tracking it requires
+# ballistic flight phases.  Runs on the collision-geom scene
+# (mjx_go2_force_collision.xml:96-129 torso/calf collision geoms via the
+# crate scene) so crash landings resolve real contacts; starts at x=0, 1.3 m
+# from the crate.  done_penalty prices the termination predicate in the
+# rollouts (landing joint excursions otherwise graze the narrow upstream
+# thigh range, envs/go2.py done_penalty docstring).
+_register("go2_jump", _go2(
+    dict(
+        gait="pronk",
+        default_vx=0.3,
+        kp=30.0,
+        kd=0.65,
+        leg_control="torque",
+        scene="go2_force_crate",
+        done_penalty=2.0,
+    )
+), _GO2_DIAL)
 
 # H1 tasks (scene inventory only in the reference; SURVEY §2.4).
 _register("h1_walk", _h1(

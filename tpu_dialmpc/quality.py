@@ -95,6 +95,40 @@ def termination_breakdown(env, qpos) -> Dict[str, float]:
     }
 
 
+def _flight_metrics(qpos):
+    """Flight-phase metrics for go2_jump, from host-side FK over the
+    executed trajectory: a step is airborne when ALL four foot sites clear
+    the ground by >5 mm beyond the 0.0175 m foot radius.  mj_kinematics
+    only (no dynamics) — ~0.1 ms/step on the host."""
+    import mujoco
+
+    from tpu_dialmpc.dynamics import assets
+
+    m = assets.load_mj_model("go2_force_crate")
+    d = mujoco.MjData(m)
+    feet = [
+        mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_SITE, s)
+        for s in ("FL_foot", "FR_foot", "RL_foot", "RR_foot")
+    ]
+    airborne = []
+    for row in qpos:
+        d.qpos[:] = row
+        mujoco.mj_kinematics(m, d)
+        airborne.append(bool((d.site_xpos[feet, 2] > 0.0175 + 5e-3).all()))
+    run = run_max = n_flights = 0
+    for a in airborne:
+        run = run + 1 if a else 0
+        if run == 3:  # a real flight phase: >=3 steps (60 ms) airborne
+            n_flights += 1
+        run_max = max(run_max, run)
+    return {
+        "airborne_frac": float(np.mean(airborne)),
+        "flight_run_max": float(run_max),
+        "n_flights": float(n_flights),
+        "apex_z": float(np.asarray(qpos)[:, 2].max()),
+    }
+
+
 def _turn_metrics(qpos):
     """Heading-tracking metrics for go2_turn (must mirror the registry's
     turn task: vyaw=1.5, turn_period=75, ramp 1 s, ctrl_dt 0.02)."""
@@ -160,6 +194,18 @@ GATES: Dict[str, Gate] = {
         dial=dict(Hsample=20, Hnode=5),
         checks=(("z_min", ">", 0.15), ("x_final", ">", 0.5)),
         recorded="presses the unclimbable 0.6 m wall at x=0.99; x 0.655",
+    ),
+    "go2_jump": Gate(
+        task="go2_jump",
+        dial=dict(Hsample=20, Hnode=5),
+        checks=(("z_min", ">", 0.12), ("flight_run_max", ">", 2.5),
+                ("n_flights", ">", 5), ("dones_height_mean", "<", 0.01),
+                ("dones_inverted_mean", "<", 0.01)),
+        recorded="BASELINE configs[3] fast-jump: pronking with ballistic "
+                 "flight phases (all four feet >5 mm off the ground "
+                 ">=3 consecutive steps), repeatedly, landing without "
+                 "height/inversion termination",
+        extra_metrics=_flight_metrics,
     ),
     "go2_canter": Gate(
         task="go2_canter",
