@@ -137,11 +137,18 @@ _register("go2_trot", _go2(
 _register("go2_walk", _go2(
     dict(gait="walk", default_vx=0.5, kp=30.0, kd=0.65, leg_control="torque")
 ), _GO2_DIAL)
+# The fast gaits carry done_penalty=2.0 (envs/go2.py: termination-as-
+# constraint).  Without it the planner sustains front-thigh angles outside
+# the narrow upstream action table ~26% of steps (QUALITY_r03); with it,
+# measured dones drop to 0.0% while distance is preserved (canter 5.1 m,
+# gallop 6.3 m over 400 steps) and minimum torso height improves.
 _register("go2_canter", _go2(
-    dict(gait="canter", default_vx=1.0, kp=30.0, kd=0.65, leg_control="torque")
+    dict(gait="canter", default_vx=1.0, kp=30.0, kd=0.65,
+         leg_control="torque", done_penalty=2.0)
 ), _GO2_DIAL)
 _register("go2_gallop", _go2(
-    dict(gait="gallop", default_vx=1.2, kp=30.0, kd=0.65, leg_control="torque")
+    dict(gait="gallop", default_vx=1.2, kp=30.0, kd=0.65,
+         leg_control="torque", done_penalty=2.0)
 ), _GO2_DIAL)
 # Position leg-control over the <position kp=30 kv=0.65> actuator model
 # (models/unitree_go2/mjx_go2_position.xml:16-34): the env writes joint
@@ -172,6 +179,7 @@ _register("go2_crate", _go2(
         kd=0.65,
         leg_control="torque",
         scene="go2_force_crate",
+        done_penalty=2.0,  # 18.5% -> 0.0% dones pressing the wall
     )
 ), _GO2_DIAL)
 # BASELINE configs[3] "fast jump" agility maneuver: pronking — the all-feet-

@@ -162,7 +162,7 @@ GATES: Dict[str, Gate] = {
     "h1_loco": Gate(
         task="h1_loco",
         checks=(("z_last100_mean", ">", 0.85), ("z_min", ">", 0.6),
-                ("x_final", ">", 3.0)),
+                ("x_final", ">", 3.0), ("dones_mean", "<", 0.1)),
         recorded="pelvis 0.91 m sustained, 4.7 m traveled",
     ),
     "h1_walk": Gate(
@@ -182,7 +182,7 @@ GATES: Dict[str, Gate] = {
         task="go2_turn",
         dial=dict(Hsample=20, Hnode=5),
         checks=(("z_min", ">", 0.15), ("yaw_err_p90", "<", 0.5),
-                ("yaw_swing", ">", 1.5)),
+                ("yaw_swing", ">", 1.5), ("dones_mean", "<", 0.05)),
         recorded="BASELINE configs[3] fast-turn: heading tracks the "
                  "sign-flipping +-1.5 rad/s command (1.5 s segments); "
                  "measured: yaw_err_p90 0.057 rad, swing 2.20 rad, "
@@ -192,8 +192,12 @@ GATES: Dict[str, Gate] = {
     "go2_crate": Gate(
         task="go2_crate",
         dial=dict(Hsample=20, Hnode=5),
-        checks=(("z_min", ">", 0.15), ("x_final", ">", 0.5)),
-        recorded="presses the unclimbable 0.6 m wall at x=0.99; x 0.655",
+        checks=(("z_min", ">", 0.15), ("x_final", ">", 0.5),
+                ("dones_mean", "<", 0.05), ("dones_height_mean", "<", 0.01),
+                ("dones_inverted_mean", "<", 0.01)),
+        recorded="presses the unclimbable 0.6 m wall at x=0.99; with "
+                 "done_penalty=2.0: x 0.67, z_min 0.207, dones 0.0% "
+                 "(was 18.5% joint-graze, QUALITY_r03)",
     ),
     "go2_jump": Gate(
         task="go2_jump",
@@ -210,14 +214,20 @@ GATES: Dict[str, Gate] = {
     "go2_canter": Gate(
         task="go2_canter",
         dial=dict(Hsample=20, Hnode=5),
-        checks=(("z_min", ">", 0.12), ("x_final", ">", 4.5)),
-        recorded="5.8 m, z_mean 0.265, z_min 0.173",
+        checks=(("z_min", ">", 0.15), ("x_final", ">", 4.5),
+                ("dones_mean", "<", 0.05), ("dones_height_mean", "<", 0.01),
+                ("dones_inverted_mean", "<", 0.01)),
+        recorded="with done_penalty=2.0: 5.1 m, z_min 0.242, dones 0.0% "
+                 "(was 26.5% joint-graze before the penalty, QUALITY_r03)",
     ),
     "go2_gallop": Gate(
         task="go2_gallop",
         dial=dict(Hsample=20, Hnode=5),
-        checks=(("z_min", ">", 0.15), ("x_final", ">", 5.5)),
-        recorded="7.4 m, z_mean 0.266, z_min 0.22",
+        checks=(("z_min", ">", 0.15), ("x_final", ">", 5.5),
+                ("dones_mean", "<", 0.05), ("dones_height_mean", "<", 0.01),
+                ("dones_inverted_mean", "<", 0.01)),
+        recorded="with done_penalty=2.0: 6.3 m, z_min 0.248, dones 0.0% "
+                 "(was 26.5% joint-graze before the penalty, QUALITY_r03)",
     ),
 }
 
