@@ -202,13 +202,17 @@ GATES: Dict[str, Gate] = {
     "go2_jump": Gate(
         task="go2_jump",
         dial=dict(Hsample=20, Hnode=5),
-        checks=(("z_min", ">", 0.12), ("flight_run_max", ">", 2.5),
-                ("n_flights", ">", 5), ("dones_height_mean", "<", 0.01),
+        checks=(("z_min", ">", 0.14), ("flight_run_max", ">", 6),
+                ("n_flights", ">", 8), ("apex_z", ">", 0.33),
+                ("dones_mean", "<", 0.05),
+                ("dones_height_mean", "<", 0.01),
                 ("dones_inverted_mean", "<", 0.01)),
         recorded="BASELINE configs[3] fast-jump: pronking with ballistic "
-                 "flight phases (all four feet >5 mm off the ground "
-                 ">=3 consecutive steps), repeatedly, landing without "
-                 "height/inversion termination",
+                 "flight phases (all four feet >5 mm off the ground).  "
+                 "Measured: 12 flights in 400 steps (one per 1.5 Hz pronk "
+                 "cycle), longest 16 steps (0.32 s) airborne, torso apex "
+                 "0.407 m (standing 0.27), airborne 38% of steps, zero "
+                 "terminations, +0.63 m forward at vx=0.3",
         extra_metrics=_flight_metrics,
     ),
     "go2_canter": Gate(
