@@ -217,7 +217,7 @@ def test_done_penalty_prices_termination():
     assert r0 == r1
 
     # force a flagged state: FR thigh past its range
-    bad_q = s0.pipeline.qpos.at[8].set(base.joint_range[1, 1] + 0.2)
+    bad_q = s0.pipeline.qpos.at[8].set(float(base.joint_range[1, 1]) + 0.2)
     s_bad = s0._replace(pipeline=s0.pipeline._replace(qpos=bad_q))
     st_b = base.step(s_bad, a)
     st_p = pen.step(s_bad, a)
