@@ -3,10 +3,13 @@
 Emits machine-readable artifacts the judge can diff across rounds (the
 round-2 audit flagged that these numbers lived only in README prose):
 
-  python quality.py                 # QUALITY_r{N}.json: the 7+ TPU gates
+  python quality.py                 # QUALITY_r{N}.json: the 9 TPU gates
+  python quality.py --quick         # QUALITY_QUICK_r{N}.json: 150-step
+                                    #   audit lane (~3x cheaper re-run)
   python quality.py --scaling       # SCALING_r{N}.json: 1-chip TPU row +
                                     #   8-virtual-CPU-mesh efficiency rows
   python quality.py --gates go2_trot h1_walk   # subset
+  python quality.py --quick --seed 7           # different noise realization
 
 The round number {N} is inferred as 1 + the highest BENCH_r{N}.json present
 (the driver writes one per completed round); override with --out.
@@ -40,15 +43,16 @@ def _round_tag() -> str:
     return f"r{max(rounds) + 1:02d}"
 
 
-def run_quality(names, out_path):
+def run_quality(names, out_path, quick=False, seed=None):
     import jax
 
     from tpu_dialmpc import quality as q
 
     t0 = time.time()
-    results = q.run_all(names)
+    results = q.run_all(names, quick=quick, seed=seed)
     doc = {
         "artifact": "quality",
+        "lane": "quick" if quick else "full",
         "platform": jax.default_backend(),
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "wall_s": round(time.time() - t0, 1),
@@ -251,11 +255,27 @@ def main(argv=None):
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--gates", nargs="*", default=None)
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--quick", action="store_true",
+        help="150-step audit lane: same tasks/planner/metrics, re-derived "
+             "thresholds, ~3x cheaper than the full 400-step gates "
+             "(writes QUALITY_QUICK_r{N}.json)",
+    )
+    p.add_argument(
+        "--seed", type=int, default=None,
+        help="override the planner seed (noise + reset key): thresholds are "
+             "envelopes and must hold across seeds, not fit one trajectory",
+    )
     args = p.parse_args(argv)
     tag = _round_tag()
     if args.scaling:
         return run_scaling(args.out or f"SCALING_{tag}.json")
-    return run_quality(args.gates, args.out or f"QUALITY_{tag}.json")
+    default_out = (
+        f"QUALITY_QUICK_{tag}.json" if args.quick else f"QUALITY_{tag}.json"
+    )
+    return run_quality(
+        args.gates, args.out or default_out, quick=args.quick, seed=args.seed
+    )
 
 
 if __name__ == "__main__":

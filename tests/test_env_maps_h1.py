@@ -199,3 +199,30 @@ def test_termination_breakdown_h1_dispatch():
     assert b["dones_joint_mean"] == 0.25
     assert b["dones_inverted_mean"] == 0.0
     assert b["dones_recomputed_mean"] == 0.5
+
+
+def test_h1_done_penalty_prices_termination():
+    """H1 done_penalty (added after the capsule-box dedup fix exposed
+    dive-shoving on h1_push_crate): subtracts exactly its value on flagged
+    steps, no-op on healthy ones, default 0.0 elsewhere — and the crate
+    task carries it (registry)."""
+    base = get_env("h1_walk", fused="off", n_substeps=1)
+    pen = get_env("h1_walk", fused="off", n_substeps=1, done_penalty=2.0)
+    assert get_env("h1_push_crate", fused="off").config.done_penalty > 0
+    assert base.config.done_penalty == 0.0
+
+    s0 = base.reset(jax.random.PRNGKey(0))
+    a = jnp.zeros(base.action_size)
+    r0 = float(base.step(s0, a).reward)
+    r1 = float(pen.step(s0, a).reward)
+    assert r0 == r1  # healthy: no flag, identical reward
+
+    # flagged state: pelvis below the 0.5 m floor
+    bad_q = s0.pipeline.qpos.at[2].set(0.45)
+    s_bad = s0._replace(pipeline=s0.pipeline._replace(qpos=bad_q))
+    st_b = base.step(s_bad, a)
+    st_p = pen.step(s_bad, a)
+    assert bool(st_b.done) and bool(st_p.done)
+    np.testing.assert_allclose(
+        float(st_p.reward), float(st_b.reward) - 2.0, atol=1e-5
+    )

@@ -98,6 +98,16 @@ class UnitreeH1EnvConfig:
     # torso-to-crate-center distance held in "crate" mode: 0.6 (box half
     # extent) + ~0.15 torso standoff behind the near face
     crate_standoff: float = 0.75
+    # Termination-as-constraint (same mechanism as envs/go2.py done_penalty):
+    # subtract done_penalty per flagged rollout step so candidates that fall
+    # (or graze physical joint limits / the z<0.5 floor) price the violation
+    # inside the sampler instead of being filtered only at execution time.
+    # Motivation (round 4): after the capsule-box contact-dedup fix made
+    # crate contact forces match MuJoCo exactly, the h1_push_crate planner
+    # found a dive-and-shove strategy — crate +1.87 m but pelvis down at
+    # 0.17 m for the last 2 s.  Applies identically in the executed step and
+    # both rollout paths (everything funnels through _post_physics).
+    done_penalty: float = 0.0
 
 
 class UnitreeH1Env(FusedRolloutMixin):
@@ -452,6 +462,9 @@ class UnitreeH1Env(FusedRolloutMixin):
             | out_of_range
             | (z_torso < 0.5)
         )
+        if cfg.done_penalty != 0.0:
+            # termination-as-constraint (see config docstring)
+            reward = reward - cfg.done_penalty * done.astype(dtype)
 
         # foot-geometry contact (Go2 form envs/go2.py: site height relative
         # to its ground-contact value, derived from the home keyframe)

@@ -225,5 +225,10 @@ _register("h1_push_crate", _h1(
         # min 0.86 — stronger crate reward also stabilizes (pushing posture
         # beats lunging)
         crate_vel_weight=6.0,
+        # after the capsule-box contact-dedup fix (exact MuJoCo crate
+        # forces) the planner rediscovered dive-shoving: crate +1.87 m with
+        # the pelvis down at 0.17 m (QUALITY_r04 first run).  Price the
+        # termination predicate in the sampler, as for the Go2 fast gaits.
+        done_penalty=2.0,
     )
 ), _H1_DIAL)

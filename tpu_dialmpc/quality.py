@@ -33,6 +33,15 @@ class Gate:
     # recorded envelope note (documentation only)
     recorded: str = ""
     extra_metrics: Optional[Callable] = None  # (qpos) -> dict
+    # quick audit lane (quality.py --quick): a 150-step (3 s) run with
+    # re-derived thresholds.  The full 400-step gates cost ~7 min each on
+    # the time-shared TPU tile (round-3 audit: "keeps the strongest
+    # behavior tests out of routine runs"); the quick lane trades envelope
+    # depth for a ~3x cheaper re-runnable check of the same behaviors.
+    # Distance/count thresholds shrink with the horizon (minus the ~1 s
+    # command ramp); posture/termination thresholds are unchanged.
+    quick_n_steps: int = 150
+    quick_checks: Tuple[Tuple[str, str, float], ...] = ()
 
 
 def _crate_disp(qpos):
@@ -158,18 +167,24 @@ GATES: Dict[str, Gate] = {
         checks=(("z_min", ">", 0.15), ("x_final", ">", 3.5),
                 ("dones_mean", "<", 0.05)),
         recorded="5.0 m/8 s, z in [0.25, 0.28], transient dones only",
+        quick_checks=(("z_min", ">", 0.15), ("x_final", ">", 0.8),
+                      ("dones_mean", "<", 0.05)),
     ),
     "h1_loco": Gate(
         task="h1_loco",
         checks=(("z_last100_mean", ">", 0.85), ("z_min", ">", 0.6),
                 ("x_final", ">", 3.0), ("dones_mean", "<", 0.1)),
         recorded="pelvis 0.91 m sustained, 4.7 m traveled",
+        quick_checks=(("z_last100_mean", ">", 0.85), ("z_min", ">", 0.6),
+                      ("x_final", ">", 0.5), ("dones_mean", "<", 0.1)),
     ),
     "h1_walk": Gate(
         task="h1_walk",
         checks=(("z_last100_mean", ">", 0.8), ("z_min", ">", 0.5),
                 ("x_final", ">", 2.0)),
         recorded="19-dof arms variant: stays up, ~3 m",
+        quick_checks=(("z_last100_mean", ">", 0.8), ("z_min", ">", 0.5),
+                      ("x_final", ">", 0.3)),
     ),
     "h1_push_crate": Gate(
         task="h1_push_crate",
@@ -177,6 +192,8 @@ GATES: Dict[str, Gate] = {
                 ("crate_disp", ">", 0.1)),
         recorded="crate +0.45 m, pelvis z min 0.86 (500-step probe)",
         extra_metrics=_crate_disp,
+        quick_checks=(("z_last100_mean", ">", 0.75), ("z_min", ">", 0.6),
+                      ("crate_disp", ">", 0.02)),
     ),
     "go2_turn": Gate(
         task="go2_turn",
@@ -188,6 +205,8 @@ GATES: Dict[str, Gate] = {
                  "measured: yaw_err_p90 0.057 rad, swing 2.20 rad, "
                  "z_min 0.218, dones 1.25%",
         extra_metrics=_turn_metrics,
+        quick_checks=(("z_min", ">", 0.15), ("yaw_err_p90", "<", 0.5),
+                      ("yaw_swing", ">", 0.7), ("dones_mean", "<", 0.05)),
     ),
     "go2_crate": Gate(
         task="go2_crate",
@@ -198,6 +217,10 @@ GATES: Dict[str, Gate] = {
         recorded="presses the unclimbable 0.6 m wall at x=0.99; with "
                  "done_penalty=2.0: x 0.67, z_min 0.207, dones 0.0% "
                  "(was 18.5% joint-graze, QUALITY_r03)",
+        quick_checks=(("z_min", ">", 0.15), ("x_final", ">", 0.25),
+                      ("dones_mean", "<", 0.05),
+                      ("dones_height_mean", "<", 0.01),
+                      ("dones_inverted_mean", "<", 0.01)),
     ),
     "go2_jump": Gate(
         task="go2_jump",
@@ -214,6 +237,11 @@ GATES: Dict[str, Gate] = {
                  "0.407 m (standing 0.27), airborne 38% of steps, zero "
                  "terminations, +0.63 m forward at vx=0.3",
         extra_metrics=_flight_metrics,
+        quick_checks=(("z_min", ">", 0.14), ("flight_run_max", ">", 6),
+                      ("n_flights", ">", 2), ("apex_z", ">", 0.33),
+                      ("dones_mean", "<", 0.05),
+                      ("dones_height_mean", "<", 0.01),
+                      ("dones_inverted_mean", "<", 0.01)),
     ),
     "go2_canter": Gate(
         task="go2_canter",
@@ -223,6 +251,10 @@ GATES: Dict[str, Gate] = {
                 ("dones_inverted_mean", "<", 0.01)),
         recorded="with done_penalty=2.0: 5.1 m, z_min 0.242, dones 0.0% "
                  "(was 26.5% joint-graze before the penalty, QUALITY_r03)",
+        quick_checks=(("z_min", ">", 0.15), ("x_final", ">", 1.0),
+                      ("dones_mean", "<", 0.05),
+                      ("dones_height_mean", "<", 0.01),
+                      ("dones_inverted_mean", "<", 0.01)),
     ),
     "go2_gallop": Gate(
         task="go2_gallop",
@@ -232,18 +264,32 @@ GATES: Dict[str, Gate] = {
                 ("dones_inverted_mean", "<", 0.01)),
         recorded="with done_penalty=2.0: 6.3 m, z_min 0.248, dones 0.0% "
                  "(was 26.5% joint-graze before the penalty, QUALITY_r03)",
+        quick_checks=(("z_min", ">", 0.15), ("x_final", ">", 1.2),
+                      ("dones_mean", "<", 0.05),
+                      ("dones_height_mean", "<", 0.01),
+                      ("dones_inverted_mean", "<", 0.01)),
     ),
 }
 
 
-def run_gate(name: str) -> Dict:
-    """Run one gate's workload; return measured metrics + per-check results."""
+def run_gate(name: str, quick: bool = False, seed: Optional[int] = None) -> Dict:
+    """Run one gate's workload; return measured metrics + per-check results.
+
+    quick=True runs the 150-step audit lane (same task, planner, and
+    metrics; re-derived thresholds — see Gate.quick_n_steps).  seed
+    overrides DialConfig.seed (planner noise + reset key) so gates can be
+    re-run under a different noise realization — thresholds are envelopes,
+    not single-trajectory fits, and must hold across seeds."""
     from tpu_dialmpc.envs import get_env
     from tpu_dialmpc.planner import runner
     from tpu_dialmpc.planner.dial import DialConfig
 
     g = GATES[name]
+    n_steps = g.quick_n_steps if quick else g.n_steps
+    checks_spec = g.quick_checks if quick else g.checks
     dial = dict(g.dial or {})
+    if seed is not None:
+        dial["seed"] = seed
     env = get_env(g.task, n_substeps=8, **(g.env_over or {}))
     cfg = DialConfig(
         Hsample=dial.pop("Hsample", 32),
@@ -255,7 +301,7 @@ def run_gate(name: str) -> Dict:
         horizon_diffuse_factor=0.9,
         traj_diffuse_factor=0.5,
         ctrl_dt=0.02,
-        n_steps=g.n_steps,
+        n_steps=n_steps,
         **dial,
     )
     res = runner.run_scan(env, cfg)
@@ -276,7 +322,7 @@ def run_gate(name: str) -> Dict:
     if g.extra_metrics:
         metrics.update(g.extra_metrics(qpos))
     checks = []
-    for metric, op, thr in g.checks:
+    for metric, op, thr in checks_spec:
         v = metrics[metric]
         ok = v > thr if op == ">" else v < thr
         checks.append(
@@ -286,7 +332,9 @@ def run_gate(name: str) -> Dict:
     return {
         "gate": name,
         "task": g.task,
-        "n_steps": g.n_steps,
+        "n_steps": n_steps,
+        "lane": "quick" if quick else "full",
+        "seed": cfg.seed,
         "metrics": metrics,
         "joint_graze_rates": joint_graze,
         "checks": checks,
@@ -295,5 +343,9 @@ def run_gate(name: str) -> Dict:
     }
 
 
-def run_all(names: Optional[List[str]] = None) -> List[Dict]:
-    return [run_gate(n) for n in (names or list(GATES))]
+def run_all(
+    names: Optional[List[str]] = None,
+    quick: bool = False,
+    seed: Optional[int] = None,
+) -> List[Dict]:
+    return [run_gate(n, quick=quick, seed=seed) for n in (names or list(GATES))]
