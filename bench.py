@@ -96,10 +96,13 @@ def run_bench(task="go2_stand", nsample=2048, hsample=20, hnode=5, iters=6,
 
     timed = _timed_factory(chain, (state, Y0, jax.random.PRNGKey(1)), iters)
     med_ms = _chain_slope_ms(timed)
-    # the north-star budget is defined at Nsample=2048; larger batches carry
-    # proportionally more work, so their budget scales per-sample (the
-    # 16384-sample row is 8x the workload, not the same workload slower)
-    budget_ms = NORTH_STAR_MS * nsample / 2048.0
+    # the north-star budget is defined at Nsample=2048, Hsample=20 (Go2);
+    # other shapes carry proportionally more work, so their budget scales
+    # per-sample and per-horizon-step (the 16384-sample row is 8x the
+    # workload, not the same workload slower).  For non-go2 tasks the
+    # scaled budget still assumes go2 per-substep cost, so vs_baseline is
+    # a cross-model comparison, not a same-model budget.
+    budget_ms = NORTH_STAR_MS * (nsample / 2048.0) * ((hsample + 1) / 21.0)
     return {
         "metric": f"{task}_reverse_once_ms_N{nsample}_H{hsample}_sub{n_substeps}",
         "value": round(med_ms, 3),
@@ -224,8 +227,10 @@ def _backend_probe_ok(timeout_s: float | None = None) -> bool:
     in-process hang would leave no bench artifact at all.  The subprocess
     is killed as a group on timeout so no waiter lingers.
 
-    `TPU_DIALMPC_BENCH_PROBE_TIMEOUT` overrides the 240 s default (tests
-    exercise the wedged path with a short one).
+    `TPU_DIALMPC_BENCH_PROBE_TIMEOUT` overrides the 480 s default (tests
+    exercise the wedged path with a short one; measured healthy-but-slow
+    tunnel init on 2026-08-20 was ~280 s, which a 240 s probe misread as
+    wedged — the default needs headroom over the slowest healthy init).
     """
     import os
     import signal
@@ -234,7 +239,7 @@ def _backend_probe_ok(timeout_s: float | None = None) -> bool:
 
     if timeout_s is None:
         timeout_s = float(
-            os.environ.get("TPU_DIALMPC_BENCH_PROBE_TIMEOUT", "240")
+            os.environ.get("TPU_DIALMPC_BENCH_PROBE_TIMEOUT", "480")
         )
 
     p = subprocess.Popen(
@@ -256,6 +261,41 @@ def _backend_probe_ok(timeout_s: float | None = None) -> bool:
         return False
 
 
+def _backend_probe_with_retry() -> tuple[bool, int]:
+    """Bounded probe retries: (ok, attempts_used).
+
+    Round 4 shipped no fresh perf number because ONE hung tunnel claim
+    failed the single probe and the whole round fell back to the cached
+    measurement (BENCH_r04.json).  A wedged claim is often transient — the
+    pool re-grants after the dead holder's claim expires — so the probe now
+    makes up to `TPU_DIALMPC_BENCH_PROBE_ATTEMPTS` (default 3) attempts
+    with a cooldown between them.  Per docs/OPERATIONS.md ("keep recovery
+    probes few and LONG-LIVED"), each attempt keeps the full generous
+    timeout; the cooldown (default min(60 s, probe timeout), override
+    `TPU_DIALMPC_BENCH_PROBE_COOLDOWN`) gives the pool a grant cycle
+    between attempts instead of hammering it.
+    """
+    import os
+
+    timeout_s = float(
+        os.environ.get("TPU_DIALMPC_BENCH_PROBE_TIMEOUT", "480")
+    )
+    attempts = max(
+        1, int(os.environ.get("TPU_DIALMPC_BENCH_PROBE_ATTEMPTS", "3"))
+    )
+    cooldown_s = float(
+        os.environ.get(
+            "TPU_DIALMPC_BENCH_PROBE_COOLDOWN", str(min(60.0, timeout_s))
+        )
+    )
+    for i in range(1, attempts + 1):
+        if _backend_probe_ok(timeout_s):
+            return True, i
+        if i < attempts:
+            time.sleep(cooldown_s)
+    return False, attempts
+
+
 def _measure_all():
     """The full measurement suite (headline + extras); runs in the child."""
     headline = run_bench()
@@ -263,6 +303,15 @@ def _measure_all():
     for fn in (
         lambda: run_control_step_bench(),
         lambda: run_bench(nsample=16384, iters=4),
+        # H1 whole-body on the chip (round-4 audit: config #5's H1 compute
+        # was proxied by a go2 number; these rows measure it).  N=2048/H=32
+        # is the reference-batch H1 row; N=8192 is config #5's per-chip
+        # share (131072 samples / 16 chips, configs/h1_multihost.yaml) and
+        # feeds quality.py:_predicted_efficiency directly.
+        lambda: run_bench(task="h1_push_crate", nsample=2048, hsample=32,
+                          hnode=8, iters=4),
+        lambda: run_bench(task="h1_push_crate", nsample=8192, hsample=32,
+                          hnode=8, iters=3),
         lambda: run_roofline(),
     ):
         try:
@@ -312,43 +361,57 @@ if __name__ == "__main__":
         # measurement worker: parent owns the watchdog + fallback
         print(json.dumps(_measure_all()))
         sys.exit(0)
-    if not _backend_probe_ok():
+    _probe_ok, _probe_attempts = _backend_probe_with_retry()
+    if not _probe_ok:
         _emit_wedged(
-            "backend init hung >240s (wedged TPU tunnel claim) — no "
-            "measurement possible this run",
+            f"backend init hung on all {_probe_attempts} probe attempts "
+            "(wedged TPU tunnel claim) — no measurement possible this run",
             _last_good_path,
         )
     # The probe only proves backend *init*; a degraded tunnel can still stall
     # per-program XLA compiles server-side (observed: >90 s for a single
     # eager concatenate after a clean init).  Run the whole measurement in a
-    # killable subprocess so bench.py always emits a JSON line.
-    _budget_s = float(os.environ.get("TPU_DIALMPC_BENCH_TIMEOUT", "1800"))
-    p = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--child"],
-        start_new_session=True,
-        stdout=subprocess.PIPE,
-        text=True,
-        env=_child_env(),
+    # killable subprocess so bench.py always emits a JSON line.  A failed or
+    # stalled measurement gets ONE fresh-subprocess retry (a new interpreter
+    # makes a new tunnel claim; round-4 postmortem: single-shot measurement
+    # zeroed the round's perf evidence).
+    # 45 min default: the suite gained two H1 compile-heavy rows in round 5
+    _budget_s = float(os.environ.get("TPU_DIALMPC_BENCH_TIMEOUT", "2700"))
+    _meas_attempts = max(
+        1, int(os.environ.get("TPU_DIALMPC_BENCH_MEASURE_ATTEMPTS", "2"))
     )
-    try:
-        stdout, _ = p.communicate(timeout=_budget_s)
-    except subprocess.TimeoutExpired:
-        os.killpg(p.pid, signal.SIGKILL)
-        p.wait()
-        _emit_wedged(
-            f"measurement exceeded {_budget_s:.0f}s (degraded tunnel: "
-            "backend up but per-program compiles stalling) — no fresh "
-            "measurement this run",
-            _last_good_path,
+    lines, last_err = [], "unknown"
+    for _attempt in range(1, _meas_attempts + 1):
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            start_new_session=True,
+            stdout=subprocess.PIPE,
+            text=True,
+            env=_child_env(),
         )
-    lines = [l for l in (stdout or "").strip().splitlines() if l.strip()]
-    if p.returncode != 0 or not lines:
+        try:
+            stdout, _ = p.communicate(timeout=_budget_s)
+        except subprocess.TimeoutExpired:
+            os.killpg(p.pid, signal.SIGKILL)
+            p.wait()
+            last_err = (
+                f"measurement exceeded {_budget_s:.0f}s (degraded tunnel: "
+                "backend up but per-program compiles stalling)"
+            )
+            continue
+        lines = [l for l in (stdout or "").strip().splitlines() if l.strip()]
+        if p.returncode == 0 and lines:
+            break
+        last_err = f"measurement subprocess failed (rc={p.returncode})"
+        lines = []
+    if not lines:
         _emit_wedged(
-            f"measurement subprocess failed (rc={p.returncode}) — no fresh "
+            f"{last_err} — after {_meas_attempts} attempts, no fresh "
             "measurement this run",
             _last_good_path,
         )
     headline = json.loads(lines[-1])
+    headline["probe_attempts"] = _probe_attempts
     # only a real-TPU measurement is worth caching as "last good"
     if headline.get("platform") not in (None, "cpu"):
         with open(_last_good_path, "w") as f:

@@ -43,28 +43,73 @@ def _round_tag() -> str:
     return f"r{max(rounds) + 1:02d}"
 
 
-def run_quality(names, out_path, quick=False, seed=None):
+def _seed_spread(results):
+    """Per-gate metric spread + seed-sensitivity flags across seed runs.
+
+    A check is seed-sensitive when it passes under some seeds and fails
+    under others — exactly the fragility the round-4 audit flagged
+    (thresholds calibrated to one noise realization).
+    """
+    by_gate = {}
+    for r in results:
+        by_gate.setdefault(r["gate"], []).append(r)
+    spread, sensitive = {}, []
+    for gate, runs in by_gate.items():
+        if len(runs) < 2:
+            continue
+        metrics = {}
+        for m in runs[0]["metrics"]:
+            vals = [r["metrics"][m] for r in runs if m in r["metrics"]]
+            if vals and all(isinstance(v, (int, float)) for v in vals):
+                metrics[m] = {
+                    "min": round(min(vals), 4),
+                    "max": round(max(vals), 4),
+                    "by_seed": {
+                        str(r["seed"]): round(r["metrics"][m], 4)
+                        for r in runs if m in r["metrics"]
+                    },
+                }
+        spread[gate] = metrics
+        for i, chk in enumerate(runs[0]["checks"]):
+            outcomes = {r["seed"]: r["checks"][i]["passed"] for r in runs}
+            if len(set(outcomes.values())) > 1:
+                sensitive.append(
+                    {"gate": gate, "metric": chk["metric"],
+                     "passed_by_seed": {str(k): v for k, v in outcomes.items()}}
+                )
+    return spread, sensitive
+
+
+def run_quality(names, out_path, quick=False, seeds=None):
     import jax
 
     from tpu_dialmpc import quality as q
 
+    seeds = list(seeds) if seeds else [None]
     t0 = time.time()
-    results = q.run_all(names, quick=quick, seed=seed)
+    results = []
+    for s in seeds:
+        results.extend(q.run_all(names, quick=quick, seed=s))
     doc = {
         "artifact": "quality",
         "lane": "quick" if quick else "full",
         "platform": jax.default_backend(),
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "wall_s": round(time.time() - t0, 1),
+        "seeds": sorted({r["seed"] for r in results}),
         "gates": results,
         "all_passed": all(r["passed"] for r in results),
     }
+    if len(seeds) > 1:
+        doc["seed_spread"], doc["seed_sensitive_checks"] = _seed_spread(
+            results
+        )
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({k: doc[k] for k in ("platform", "all_passed")}))
     for r in results:
         line = {c["metric"]: round(c["measured"], 3) for c in r["checks"]}
-        print(f"  {r['gate']}: passed={r['passed']} {line}")
+        print(f"  {r['gate']}[seed={r['seed']}]: passed={r['passed']} {line}")
     print(f"wrote {out_path}")
     return 0 if doc["all_passed"] else 1
 
@@ -184,24 +229,48 @@ def _predicted_efficiency():
             n_hosts_list=(1, 2, 4, 8),
         ),
     }
-    # config #5: H1 whole-body, Nsample=131072 over 16 chips -> 8192/chip
-    from tpu_dialmpc.envs import get_env
-    from tpu_dialmpc.telemetry.profile import count_fused_ops
+    # config #5: H1 whole-body, Nsample=131072 over 16 chips -> 8192/chip.
+    # Preferred basis: the MEASURED h1_push_crate N=8192 row (bench.py
+    # measures it on the chip since round 5 — closes the round-4 audit's
+    # "H1 compute is proxied" gap).  Fallback for a pre-round-5
+    # BENCH_LAST_GOOD: the traced arith-op-ratio rescale of the go2 row.
+    h1_row = next(
+        (
+            e for e in bench.get("extra", [])
+            if e.get("metric", "").startswith(
+                "h1_push_crate_reverse_once_ms_N8192"
+            ) and e.get("value", -1) > 0
+        ),
+        None,
+    )
+    if h1_row is not None:
+        h1_ms = h1_row["value"]
+        basis = {
+            "measured_metric": h1_row["metric"],
+            "measured_ms": h1_ms,
+            "source": "BENCH_LAST_GOOD extra row (real TPU)",
+        }
+    else:
+        from tpu_dialmpc.envs import get_env
+        from tpu_dialmpc.telemetry.profile import count_fused_ops
 
-    ops_h1 = count_fused_ops(
-        get_env("h1_push_crate", n_substeps=8).model
-    )["arith_ops_per_substep"]
-    ops_go2 = count_fused_ops(
-        get_env("go2_stand", n_substeps=8).model
-    )["arith_ops_per_substep"]
-    h1_ms = ms_16384 * (8192 / 16384) * (33 / 21) * (ops_h1 / ops_go2)
-    out["config5_h1_multihost_16chip"] = {
-        "per_chip_compute_ms": round(h1_ms, 3),
-        "compute_basis": {
+        ops_h1 = count_fused_ops(
+            get_env("h1_push_crate", n_substeps=8).model
+        )["arith_ops_per_substep"]
+        ops_go2 = count_fused_ops(
+            get_env("go2_stand", n_substeps=8).model
+        )["arith_ops_per_substep"]
+        h1_ms = ms_16384 * (8192 / 16384) * (33 / 21) * (ops_h1 / ops_go2)
+        basis = {
             "go2_N16384_ms": ms_16384,
             "arith_ops_per_substep_h1": ops_h1,
             "arith_ops_per_substep_go2": ops_go2,
-        },
+            "source": "arith-op-ratio proxy (no measured H1 row in "
+                      "BENCH_LAST_GOOD)",
+        }
+    out["config5_h1_multihost_16chip"] = {
+        "per_chip_compute_ms": round(h1_ms, 3),
+        "compute_basis": basis,
         "payload_bytes": (8 + 1) * 19 * 4 + 32,
         "rows": predicted_efficiency_rows(
             compute_ms=h1_ms, payload_bytes=(8 + 1) * 19 * 4 + 32,
@@ -266,6 +335,12 @@ def main(argv=None):
         help="override the planner seed (noise + reset key): thresholds are "
              "envelopes and must hold across seeds, not fit one trajectory",
     )
+    p.add_argument(
+        "--seeds", type=int, nargs="+", default=None,
+        help="run every gate once per seed and record per-seed metric "
+             "spread + seed-sensitivity flags in one artifact (round-4 "
+             "audit: single-seed gates can hide threshold fragility)",
+    )
     args = p.parse_args(argv)
     tag = _round_tag()
     if args.scaling:
@@ -273,8 +348,9 @@ def main(argv=None):
     default_out = (
         f"QUALITY_QUICK_{tag}.json" if args.quick else f"QUALITY_{tag}.json"
     )
+    seeds = args.seeds if args.seeds else ([args.seed] if args.seed is not None else None)
     return run_quality(
-        args.gates, args.out or default_out, quick=args.quick, seed=args.seed
+        args.gates, args.out or default_out, quick=args.quick, seeds=seeds
     )
 
 

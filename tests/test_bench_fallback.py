@@ -72,6 +72,50 @@ def test_child_env_strips_axon_registration_only_when_cpu_pinned(monkeypatch):
     assert "PALLAS_AXON_POOL_IPS" not in bench._child_env()
 
 
+def _load_bench_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_retry", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
+def test_probe_retry_recovers_from_transient_wedge(monkeypatch):
+    """Round-4 postmortem: ONE hung tunnel claim zeroed the round's perf
+    evidence.  The probe must retry (with cooldown) so a transient wedge —
+    the pool re-grants after the dead holder's claim expires — doesn't
+    abort measurement."""
+    bench = _load_bench_module()
+    monkeypatch.setenv("TPU_DIALMPC_BENCH_PROBE_ATTEMPTS", "3")
+    monkeypatch.setenv("TPU_DIALMPC_BENCH_PROBE_COOLDOWN", "0")
+
+    calls = []
+
+    def fake_probe(timeout_s=None):
+        calls.append(timeout_s)
+        return len(calls) >= 2  # first attempt wedged, second recovers
+
+    monkeypatch.setattr(bench, "_backend_probe_ok", fake_probe)
+    ok, attempts = bench._backend_probe_with_retry()
+    assert ok and attempts == 2 and len(calls) == 2
+
+
+def test_probe_retry_bounded(monkeypatch):
+    bench = _load_bench_module()
+    monkeypatch.setenv("TPU_DIALMPC_BENCH_PROBE_ATTEMPTS", "2")
+    monkeypatch.setenv("TPU_DIALMPC_BENCH_PROBE_COOLDOWN", "0")
+    calls = []
+    monkeypatch.setattr(
+        bench, "_backend_probe_ok",
+        lambda timeout_s=None: (calls.append(1), False)[1],
+    )
+    ok, attempts = bench._backend_probe_with_retry()
+    assert not ok and attempts == 2 and len(calls) == 2
+
+
 def test_bench_wedged_backend_reports_last_known_good():
     env = dict(os.environ)
     # a 1-second probe budget is shorter than any jax import: the probe

@@ -22,6 +22,9 @@ GAIT_PHASES = {
     # counterpart — the reference's gait table stops at gallop,
     # unitree-go2-env.h:758-772)
     "pronk": (0.0, 0.0, 0.0, 0.0),
+    # crate climbing: walk phase order (one foot in swing at a time keeps
+    # three supports loaded while a leg reaches up the step)
+    "climb": (0.0, 0.5, 0.75, 0.25),
 }
 GAIT_PARAMS = {
     "stand": (1.0, 1.0, 0.0),
@@ -33,6 +36,9 @@ GAIT_PARAMS = {
     # amplitude 0.18 m demands a real flight phase (apex ballistics ~0.16 s
     # airborne), well past grazing-lift noise
     "pronk": (0.4, 1.5, 0.18),
+    # swing amplitude must clear the 0.30 m crate lip from ground level;
+    # slow cadence gives each reach-up a full 0.4 s of swing
+    "climb": (0.6, 1.25, 0.16),
 }
 
 # biped gaits for H1 (no reference counterpart — H1 envs exist only as model

@@ -85,6 +85,31 @@ class UnitreeGo2EnvConfig:
     # (true yaw + π whenever true yaw < 0 — unitree-go2-env.h:163-170,
     # verified against Eigen bit-for-bit).  Parity tests pin "eigen".
     yaw_mode: str = "atan2"
+    # Crate climbing (the reference's own obstacle scene,
+    # models/unitree_go2/mjx_scene_force_crate.xml:24-28, with the
+    # collision-capable robot mjx_go2_force_collision.xml:96-129).  The
+    # scene's crate is a mocap body — runtime-positioned by design; the
+    # XML pose puts its top face at 0.6 m (unclimbably tall for a 0.27 m
+    # robot; the go2_crate task presses against it).  crate_top_z > 0
+    # repositions the box at model-compile time so its top face sits at
+    # the given height, and switches the reward stack terrain-aware:
+    #  - each foot's gait-target height rides on the support surface under
+    #    that foot's (x, y) — on the crate the swing profile is evaluated
+    #    relative to the crate top, and a foot hovering over the crate at
+    #    ground level is priced as a 0.3 m gait error, which steers
+    #    footholds up onto the box;
+    #  - the torso height target ramps from ground level to
+    #    pos_tar_z + crate_top_z as the torso crosses the front edge (a
+    #    linear blend over ±crate_ramp m, since the torso is extended —
+    #    half the body can be over the crate while the rear feet load the
+    #    ground).
+    crate_top_z: float = 0.0
+    crate_ramp: float = 0.25
+    # When > 0, the forward-velocity command shuts off once the torso
+    # passes goal_x (planner rollouts included): the task becomes "stand
+    # here" — without it the tracker trots straight off the crate's far
+    # edge.
+    goal_x: float = 0.0
     # Termination-as-constraint (extension; 0 = reference semantics).  The
     # reference accumulates rollout rewards straight past its own done
     # predicate (dial-core.h:423-440 never reads done), so the planner
@@ -108,6 +133,29 @@ class UnitreeGo2Env(FusedRolloutMixin):
         self.config = config
         mj = assets.load_mj_model(config.scene)
         mj.opt.timestep = config.timestep
+        self._crate = None  # (cx, cy, hx, hy, top_z) when crate_top_z > 0
+        if config.crate_top_z > 0.0:
+            import mujoco
+
+            bid = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_BODY, "box_body")
+            if bid < 0:
+                raise ValueError(
+                    f"crate_top_z set but scene {config.scene!r} has no "
+                    "'box_body' (use the go2_force_crate scene)"
+                )
+            gid = int(mj.body_geomadr[bid])
+            half_z = float(mj.geom_size[gid, 2])
+            # sink the box so its top face is at crate_top_z (the mocap
+            # body is runtime-positioned by design; we bake the pose at
+            # compile time — the box is static either way)
+            mj.body_pos[bid, 2] = config.crate_top_z - half_z
+            self._crate = (
+                float(mj.body_pos[bid, 0]),
+                float(mj.body_pos[bid, 1]),
+                float(mj.geom_size[gid, 0]),
+                float(mj.geom_size[gid, 1]),
+                float(config.crate_top_z),
+            )
         self.model: PhysicsModel = compile_model(mj).with_options(
             timestep=config.timestep
         )
@@ -234,6 +282,13 @@ class UnitreeGo2Env(FusedRolloutMixin):
             jnp.array([0.0, 0.0, yw], dtype),
         )
 
+    def _support_z(self, x, y):
+        """Support-surface height under (x, y): crate top inside the box
+        footprint, ground elsewhere.  Elementwise over any shape."""
+        cx, cy, hx, hy, top = self._crate
+        inside = (jnp.abs(x - cx) < hx) & (jnp.abs(y - cy) < hy)
+        return jnp.where(inside, jnp.asarray(top, self._dtype), 0.0)
+
     def _foot_step_target(self, step):
         duty, cadence, amplitude = self._gait_params
         phases = jnp.asarray(self._gait_phases, self._dtype)
@@ -341,9 +396,22 @@ class UnitreeGo2Env(FusedRolloutMixin):
                     jnp.minimum(cfg.default_vyaw * frac, cfg.default_vyaw)
                 )
 
+        # goal gating: shut the forward command off once the torso passes
+        # goal_x (see goal_x docstring) — applies in rollouts too, so the
+        # sampler plans the stop rather than discovering it post hoc
+        if cfg.goal_x > 0.0:
+            before_goal = (torso_xpos[0] < cfg.goal_x).astype(dtype)
+            vel_tar = vel_tar.at[0].multiply(before_goal)
+
         # ---- rewards (unitree-go2-env.h:459-558) ----
         z_feet = site_xpos[self._feet_site_id, 2]
         z_feet_tar = self._foot_step_target(info.step)
+        if self._crate is not None:
+            # terrain-aware foot targets (see crate_top_z docstring)
+            z_feet_tar = z_feet_tar + self._support_z(
+                site_xpos[self._feet_site_id, 0],
+                site_xpos[self._feet_site_id, 1],
+            )
         reward_gaits = -jnp.sum(((z_feet_tar - z_feet) / 0.05) ** 2)
 
         up_global = jnp.array([0.0, 0.0, 1.0], dtype)
@@ -373,7 +441,18 @@ class UnitreeGo2Env(FusedRolloutMixin):
         reward_ang_vel = -((ab[2] - ang_vel_tar[2]) ** 2)
 
         z_torso = torso_xpos[2]
-        reward_height = -((z_torso - info.pos_tar[2]) ** 2)
+        z_tar = info.pos_tar[2]
+        if self._crate is not None:
+            # torso target ramps onto the crate over ±crate_ramp around the
+            # front edge (the torso is extended; a hard step at the edge
+            # would price the mid-climb straddle as pure error)
+            cx, _, hx, _, top = self._crate
+            ramp = cfg.crate_ramp
+            frac = jnp.clip(
+                (torso_xpos[0] - (cx - hx - ramp)) / (2.0 * ramp), 0.0, 1.0
+            )
+            z_tar = z_tar + top * frac
+        reward_height = -((z_torso - z_tar) ** 2)
 
         # energy term from the dead-code env (UnitreeGo2Env.h:699-713)
         reward_energy = jnp.asarray(0.0, dtype)

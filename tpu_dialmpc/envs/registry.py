@@ -182,6 +182,28 @@ _register("go2_crate", _go2(
         done_penalty=2.0,  # 18.5% -> 0.0% dones pressing the wall
     )
 ), _GO2_DIAL)
+# Crate CLIMB (vs go2_crate's press-the-wall): the reference's own obstacle
+# scene with the mocap crate repositioned so its top face is at 0.30 m
+# (mjx_scene_force_crate.xml:24-28 — the XML pose parks it at 0.6 m, which
+# a 0.27 m-tall robot cannot mount; the mocap body is runtime-positioned by
+# design).  Terrain-aware rewards (envs/go2.py crate_top_z) steer footholds
+# onto the box; goal_x stops the forward command at the crate center so the
+# task ends standing ON the crate, torso ~0.57 m.  Gated by the
+# go2_crate_climb quality gate (torso sustained above 0.50 m with all four
+# feet on the crate top).
+_register("go2_crate_climb", _go2(
+    dict(
+        gait="climb",
+        default_vx=0.5,
+        kp=30.0,
+        kd=0.65,
+        leg_control="torque",
+        scene="go2_force_crate",
+        crate_top_z=0.30,
+        goal_x=1.35,
+        done_penalty=2.0,
+    )
+), dict(_GO2_DIAL, Hsample=25))
 # BASELINE configs[3] "fast jump" agility maneuver: pronking — the all-feet-
 # in-phase gait commands simultaneous lift-off, so tracking it requires
 # ballistic flight phases.  Runs on the collision-geom scene

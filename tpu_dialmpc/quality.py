@@ -138,6 +138,43 @@ def _flight_metrics(qpos):
     }
 
 
+def _climb_metrics(qpos):
+    """Crate-mounting metrics for go2_crate_climb, host-side FK over the
+    executed trajectory.  The crate footprint/height mirror the task config
+    (registry: crate_top_z=0.30, box at x=1.3 half-extents 0.31x0.46).  A
+    step counts as "on the crate" when ALL FOUR feet are inside the
+    footprint in (x, y) and above the crate top minus the foot radius."""
+    import mujoco
+
+    from tpu_dialmpc.dynamics import assets
+
+    m = assets.load_mj_model("go2_force_crate")
+    d = mujoco.MjData(m)
+    feet = [
+        mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_SITE, s)
+        for s in ("FL_foot", "FR_foot", "RL_foot", "RR_foot")
+    ]
+    cx, cy, hx, hy, top = 1.3, 0.0, 0.31, 0.46, 0.30
+    on_crate = []
+    for row in qpos:
+        d.qpos[:] = row
+        mujoco.mj_kinematics(m, d)
+        p = d.site_xpos[feet]
+        inside = (
+            (np.abs(p[:, 0] - cx) < hx)
+            & (np.abs(p[:, 1] - cy) < hy)
+            & (p[:, 2] > top - 0.05)
+        )
+        on_crate.append(bool(inside.all()))
+    on_crate = np.asarray(on_crate)
+    return {
+        "feet_on_crate_last100": float(on_crate[-100:].mean()),
+        "first_mounted_step": float(
+            np.argmax(on_crate) if on_crate.any() else -1
+        ),
+    }
+
+
 def _turn_metrics(qpos):
     """Heading-tracking metrics for go2_turn (must mirror the registry's
     turn task: vyaw=1.5, turn_period=75, ramp 1 s, ctrl_dt 0.02)."""
@@ -190,7 +227,8 @@ GATES: Dict[str, Gate] = {
         task="h1_push_crate",
         checks=(("z_last100_mean", ">", 0.75), ("z_min", ">", 0.6),
                 ("crate_disp", ">", 0.1)),
-        recorded="crate +0.45 m, pelvis z min 0.86 (500-step probe)",
+        recorded="crate +0.49 m, pelvis z min 0.83 (400-step gate, "
+                 "QUALITY_r04; done_penalty=2.0)",
         extra_metrics=_crate_disp,
         quick_checks=(("z_last100_mean", ">", 0.75), ("z_min", ">", 0.6),
                       ("crate_disp", ">", 0.02)),
@@ -243,6 +281,29 @@ GATES: Dict[str, Gate] = {
                       ("dones_height_mean", "<", 0.01),
                       ("dones_inverted_mean", "<", 0.01)),
     ),
+    "go2_crate_climb": Gate(
+        task="go2_crate_climb",
+        dial=dict(Hsample=25, Hnode=5),
+        checks=(("z_last100_mean", ">", 0.50),
+                ("feet_on_crate_last100", ">", 0.9),
+                ("x_final", ">", 1.1),
+                ("z_min", ">", 0.15),
+                ("dones_mean", "<", 0.05),
+                ("dones_height_mean", "<", 0.01),
+                ("dones_inverted_mean", "<", 0.01)),
+        recorded="mounts the reference crate (top 0.30 m, "
+                 "mjx_scene_force_crate.xml box sunk to a climbable "
+                 "height) and stands on top: thresholds to be "
+                 "re-calibrated from the first green TPU run",
+        extra_metrics=_climb_metrics,
+        # 150 steps (3 s) is approach + first mount attempt: require real
+        # forward progress toward the crate without terminations; the
+        # mounted-stand envelope only exists in the full lane
+        quick_checks=(("x_final", ">", 0.4), ("z_min", ">", 0.15),
+                      ("dones_mean", "<", 0.05),
+                      ("dones_height_mean", "<", 0.01),
+                      ("dones_inverted_mean", "<", 0.01)),
+    ),
     "go2_canter": Gate(
         task="go2_canter",
         dial=dict(Hsample=20, Hnode=5),
@@ -280,10 +341,13 @@ def run_gate(name: str, quick: bool = False, seed: Optional[int] = None) -> Dict
     overrides DialConfig.seed (planner noise + reset key) so gates can be
     re-run under a different noise realization — thresholds are envelopes,
     not single-trajectory fits, and must hold across seeds."""
+    import time
+
     from tpu_dialmpc.envs import get_env
     from tpu_dialmpc.planner import runner
     from tpu_dialmpc.planner.dial import DialConfig
 
+    t_start = time.time()
     g = GATES[name]
     n_steps = g.quick_n_steps if quick else g.n_steps
     checks_spec = g.quick_checks if quick else g.checks
@@ -335,6 +399,13 @@ def run_gate(name: str, quick: bool = False, seed: Optional[int] = None) -> Dict
         "n_steps": n_steps,
         "lane": "quick" if quick else "full",
         "seed": cfg.seed,
+        # per-gate provenance (round-4 advisor: a merged artifact presented
+        # gates measured hours apart under one top-level timestamp; with
+        # per-gate stamps any merge stays auditable)
+        "measured_at": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(t_start)
+        ),
+        "wall_s": round(time.time() - t_start, 1),
         "metrics": metrics,
         "joint_graze_rates": joint_graze,
         "checks": checks,

@@ -105,9 +105,20 @@ def render(root: str | None = None) -> str:
     if q:
         src, doc = q
         sources.append(src)
+        # per-gate timestamps (round-4 advisor: a merged artifact showed
+        # gates measured hours apart under one top-level stamp — surface
+        # the range, not a single instant, when they differ)
+        stamps = sorted(
+            {g["measured_at"] for g in doc.get("gates", [])
+             if g.get("measured_at")}
+        )
+        if len(stamps) > 1 and stamps[0] != stamps[-1]:
+            when = f"{stamps[0]} .. {stamps[-1]}"
+        else:
+            when = stamps[0] if stamps else doc.get("measured_at", "?")
         lines += [
             "",
-            f"**Quality gates** ({src}, measured {doc.get('measured_at', '?')}, "
+            f"**Quality gates** ({src}, measured {when}, "
             f"platform {doc.get('platform', '?')}, "
             f"{_fmt(doc.get('wall_s', 0) / 60, 0)} min wall):",
             "",
