@@ -361,7 +361,15 @@ if __name__ == "__main__":
         # measurement worker: parent owns the watchdog + fallback
         print(json.dumps(_measure_all()))
         sys.exit(0)
-    _probe_ok, _probe_attempts = _backend_probe_with_retry()
+    # TPU_DIALMPC_BENCH_SKIP_PROBE=1: go straight to the (watchdogged)
+    # measurement child.  For supervisors that have JUST verified the
+    # backend themselves — every extra probe is an extra tunnel claim, and
+    # a probe killed at timeout can itself wedge the tile
+    # (docs/OPERATIONS.md "wedged-tile behavior").
+    if os.environ.get("TPU_DIALMPC_BENCH_SKIP_PROBE") == "1":
+        _probe_ok, _probe_attempts = True, 0
+    else:
+        _probe_ok, _probe_attempts = _backend_probe_with_retry()
     if not _probe_ok:
         _emit_wedged(
             f"backend init hung on all {_probe_attempts} probe attempts "

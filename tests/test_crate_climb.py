@@ -76,6 +76,17 @@ def test_goal_gating_stops_forward_command(env):
     assert float(s2.info.vel_tar[0]) == 0.0  # past goal_x: command gated
 
 
+def test_crate_x_parks_the_box_for_travel_tasks():
+    """go2_jump uses the crate scene for its collision-capable robot but
+    needs flat ground in the travel path: crate_x must move the box body
+    down-range and leave terrain-aware rewards off."""
+    env = get_env("go2_jump", n_substeps=8)
+    bid = env.model.body_names.index("box_body")
+    assert env.model.body_pos[bid][0] == pytest.approx(30.0)
+    assert env._crate is None  # terrain-aware rewards off
+    assert env.config.default_vx == pytest.approx(0.5)
+
+
 def test_crate_carries_the_robot(env):
     """Drop the robot onto the crate top: contacts with the repositioned
     box must hold it (no fall-through to the floor)."""

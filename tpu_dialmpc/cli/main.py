@@ -248,7 +248,9 @@ def cmd_render(args):
     if args.torques:
         tau = _executed_torques(env, data)
     written = render_trajectory(
-        env.config.scene,
+        # the env's host model, so task-time scene patches (crate_top_z /
+        # crate_x) are drawn where the task put them
+        getattr(env, "mj_model", env.config.scene),
         data["qpos"],
         out,
         fps=fps,

@@ -105,11 +105,23 @@ class UnitreeGo2EnvConfig:
     #    ground).
     crate_top_z: float = 0.0
     crate_ramp: float = 0.25
+    # Override the crate's center x (0 = keep the XML's 1.3 m).  The crate
+    # scene is the only reference scene with the collision-capable robot;
+    # travel tasks that need flat ground with real crash contacts
+    # (go2_jump) park the box far down-range instead of hitting the XML's
+    # 0.6 m wall at x~1.
+    crate_x: float = 0.0
     # When > 0, the forward-velocity command shuts off once the torso
     # passes goal_x (planner rollouts included): the task becomes "stand
     # here" — without it the tracker trots straight off the crate's far
     # edge.
     goal_x: float = 0.0
+    # Linear-velocity reward weight (reference fixes it at 1.0,
+    # unitree-go2-env.h:558).  Agility tasks that must TRAVEL while
+    # satisfying an expensive gait (pronk flight phases price vertical
+    # effort against tracking) can raise it so commanded progress wins
+    # the trade.
+    vel_weight: float = 1.0
     # Termination-as-constraint (extension; 0 = reference semantics).  The
     # reference accumulates rollout rewards straight past its own done
     # predicate (dial-core.h:423-440 never reads done), so the planner
@@ -134,28 +146,34 @@ class UnitreeGo2Env(FusedRolloutMixin):
         mj = assets.load_mj_model(config.scene)
         mj.opt.timestep = config.timestep
         self._crate = None  # (cx, cy, hx, hy, top_z) when crate_top_z > 0
-        if config.crate_top_z > 0.0:
+        if config.crate_top_z > 0.0 or config.crate_x != 0.0:
             import mujoco
 
             bid = mujoco.mj_name2id(mj, mujoco.mjtObj.mjOBJ_BODY, "box_body")
             if bid < 0:
                 raise ValueError(
-                    f"crate_top_z set but scene {config.scene!r} has no "
-                    "'box_body' (use the go2_force_crate scene)"
+                    f"crate_top_z/crate_x set but scene {config.scene!r} "
+                    "has no 'box_body' (use the go2_force_crate scene)"
                 )
             gid = int(mj.body_geomadr[bid])
-            half_z = float(mj.geom_size[gid, 2])
-            # sink the box so its top face is at crate_top_z (the mocap
-            # body is runtime-positioned by design; we bake the pose at
-            # compile time — the box is static either way)
-            mj.body_pos[bid, 2] = config.crate_top_z - half_z
-            self._crate = (
-                float(mj.body_pos[bid, 0]),
-                float(mj.body_pos[bid, 1]),
-                float(mj.geom_size[gid, 0]),
-                float(mj.geom_size[gid, 1]),
-                float(config.crate_top_z),
-            )
+            if config.crate_x != 0.0:
+                mj.body_pos[bid, 0] = config.crate_x
+            if config.crate_top_z > 0.0:
+                half_z = float(mj.geom_size[gid, 2])
+                # sink the box so its top face is at crate_top_z (the mocap
+                # body is runtime-positioned by design; we bake the pose at
+                # compile time — the box is static either way)
+                mj.body_pos[bid, 2] = config.crate_top_z - half_z
+                self._crate = (
+                    float(mj.body_pos[bid, 0]),
+                    float(mj.body_pos[bid, 1]),
+                    float(mj.geom_size[gid, 0]),
+                    float(mj.geom_size[gid, 1]),
+                    float(config.crate_top_z),
+                )
+        # keep the (possibly crate-patched) host model: rendering/FK tools
+        # must draw the box where the TASK put it, not where the XML parks it
+        self.mj_model = mj
         self.model: PhysicsModel = compile_model(mj).with_options(
             timestep=config.timestep
         )
@@ -467,7 +485,7 @@ class UnitreeGo2Env(FusedRolloutMixin):
             0.1 * reward_gaits
             + 0.5 * reward_upright
             + 0.3 * reward_yaw
-            + 1.0 * reward_vel
+            + cfg.vel_weight * reward_vel
             + 1.0 * reward_ang_vel
             + 1.0 * reward_height
             + cfg.energy_weight * reward_energy

@@ -118,6 +118,7 @@ class UnitreeH1Env(FusedRolloutMixin):
         self.config = config
         mj = assets.load_mj_model(config.scene)
         mj.opt.timestep = config.timestep
+        self.mj_model = mj  # host model for rendering/FK tools (see go2.py)
         self.model = compile_model(mj).with_options(timestep=config.timestep)
         self._torso_idx = self.model.body_names.index(self.TORSO_BODY)
         self._feet_site_id = np.array(

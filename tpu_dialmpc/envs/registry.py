@@ -215,11 +215,16 @@ _register("go2_crate_climb", _go2(
 _register("go2_jump", _go2(
     dict(
         gait="pronk",
-        default_vx=0.3,
+        # round-4 audit: at vx=0.3 the pronk barely traveled (+0.63 m / 8 s
+        # — "the easy half" of the agility claim).  vx=0.5 with the box
+        # parked down-range (crate_x — the XML's 0.6 m wall sits at x~1,
+        # inside the travel path) makes forward progress part of the gate.
+        default_vx=0.5,
         kp=30.0,
         kd=0.65,
         leg_control="torque",
         scene="go2_force_crate",
+        crate_x=30.0,
         done_penalty=2.0,
     )
 ), _GO2_DIAL)

@@ -19,7 +19,7 @@ import numpy as np
 
 
 def render_trajectory(
-    scene: str,
+    scene,  # scene name (str) or a loaded mujoco.MjModel
     qpos: np.ndarray,
     out: str,
     fps: float = 50.0,
@@ -49,7 +49,14 @@ def render_trajectory(
 
     from tpu_dialmpc.dynamics import assets
 
-    m = assets.load_mj_model(scene)
+    # `scene` may be a registered scene name or an already-loaded (possibly
+    # task-patched) MjModel — envs that reposition scene bodies
+    # (go2_crate_climb's 0.30 m crate) pass env.mj_model so the video shows
+    # the geometry the task actually ran against
+    if isinstance(scene, mujoco.MjModel):
+        m = scene
+    else:
+        m = assets.load_mj_model(scene)
     d = mujoco.MjData(m)
     qpos = np.asarray(qpos)
     if qpos.ndim != 2 or qpos.shape[1] != m.nq:
