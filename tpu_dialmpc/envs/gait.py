@@ -36,9 +36,11 @@ GAIT_PARAMS = {
     # amplitude 0.18 m demands a real flight phase (apex ballistics ~0.16 s
     # airborne), well past grazing-lift noise
     "pronk": (0.4, 1.5, 0.18),
-    # swing amplitude must clear the 0.30 m crate lip from ground level;
-    # slow cadence gives each reach-up a full 0.4 s of swing
-    "climb": (0.6, 1.25, 0.16),
+    # swing amplitude must clear the 0.30 m crate lip from ground level
+    # (measured failure at 0.16: front feet swung 0.11-0.14 and the planner
+    # parked 0.15 m from the box face — every approach candidate stumbled
+    # into the lip); slow cadence gives each reach-up a full ~0.45 s swing
+    "climb": (0.55, 1.0, 0.35),
 }
 
 # biped gaits for H1 (no reference counterpart — H1 envs exist only as model

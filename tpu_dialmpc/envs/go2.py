@@ -104,7 +104,9 @@ class UnitreeGo2EnvConfig:
     #    half the body can be over the crate while the rear feet load the
     #    ground).
     crate_top_z: float = 0.0
-    crate_ramp: float = 0.25
+    # distance past the front edge over which the torso height target rises
+    # to the crate top (see _post_physics; starts 5 cm before the edge)
+    crate_ramp: float = 0.40
     # Override the crate's center x (0 = keep the XML's 1.3 m).  The crate
     # scene is the only reference scene with the collision-capable robot;
     # travel tasks that need flat ground with real crash contacts
@@ -197,6 +199,18 @@ class UnitreeGo2Env(FusedRolloutMixin):
             self.joint_range = np.array(
                 [[-0.5, 0.5], [0.4, 1.4], [-2.3, -0.85]] * 2
                 + [[-0.5, 0.5], [0.4, 1.4], [-2.3, -1.3]] * 2
+            )
+            self.physical_joint_range = model_range.copy()
+        elif config.joint_range_source == "climb" and self.model.nu == 12:
+            # upstream table widened for obstacle mounting: pulling a rear
+            # foot onto a 0.30 m lip needs thigh flexion past the
+            # locomotion table's [0.4, 1.4] and calf extension past its
+            # rear [-2.3, -1.3] (still inside the model's physical hinge
+            # ranges, which clip below).  Wider ranges also widen the
+            # termination box identically, so done_penalty prices real
+            # falls, not climbing postures.
+            self.joint_range = np.array(
+                [[-0.6, 0.6], [0.0, 2.1], [-2.6, -0.7]] * 4
             )
             self.physical_joint_range = model_range.copy()
         elif config.joint_range_source == "model_eigen":
@@ -425,10 +439,19 @@ class UnitreeGo2Env(FusedRolloutMixin):
         z_feet = site_xpos[self._feet_site_id, 2]
         z_feet_tar = self._foot_step_target(info.step)
         if self._crate is not None:
-            # terrain-aware foot targets (see crate_top_z docstring)
-            z_feet_tar = z_feet_tar + self._support_z(
-                site_xpos[self._feet_site_id, 0],
-                site_xpos[self._feet_site_id, 1],
+            # terrain-aware foot targets: the target is the MAX of the
+            # ground-referenced swing profile and the support under the
+            # foot.  max (not sum): summing demanded apex+lip (~0.6 m)
+            # mid-swing over the box and punished exactly the crossing the
+            # task needs; with max, a swing that clears the lip matches the
+            # target over the box (profile amplitude > lip height) and
+            # stance on the box is exact (profile 0 -> target = support).
+            z_feet_tar = jnp.maximum(
+                z_feet_tar,
+                self._support_z(
+                    site_xpos[self._feet_site_id, 0],
+                    site_xpos[self._feet_site_id, 1],
+                ),
             )
         reward_gaits = -jnp.sum(((z_feet_tar - z_feet) / 0.05) ** 2)
 
@@ -461,13 +484,16 @@ class UnitreeGo2Env(FusedRolloutMixin):
         z_torso = torso_xpos[2]
         z_tar = info.pos_tar[2]
         if self._crate is not None:
-            # torso target ramps onto the crate over ±crate_ramp around the
-            # front edge (the torso is extended; a hard step at the edge
-            # would price the mid-climb straddle as pure error)
+            # torso target ramps onto the crate beginning 5 cm BEFORE the
+            # front edge and completing crate_ramp later (torso half a body
+            # past the edge, rear feet at the lip).  Measured failure mode
+            # of a ramp centered ON the edge: the target started rising
+            # 0.25 m before the robot could physically place a foot on the
+            # box, and the planner stalled at the ramp start (x 0.65 of a
+            # 0.99 m approach) where height error was still zero.
             cx, _, hx, _, top = self._crate
-            ramp = cfg.crate_ramp
             frac = jnp.clip(
-                (torso_xpos[0] - (cx - hx - ramp)) / (2.0 * ramp), 0.0, 1.0
+                (torso_xpos[0] - (cx - hx - 0.15)) / cfg.crate_ramp, 0.0, 1.0
             )
             z_tar = z_tar + top * frac
         reward_height = -((z_torso - z_tar) ** 2)

@@ -202,6 +202,10 @@ _register("go2_crate_climb", _go2(
         crate_top_z=0.30,
         goal_x=1.35,
         done_penalty=2.0,
+        # break the approach-vs-height-target trade toward progress (the
+        # measured stall mode: the planner parks where height error is
+        # still zero rather than enter the rising-target region)
+        vel_weight=1.5,
     )
 ), dict(_GO2_DIAL, Hsample=25))
 # BASELINE configs[3] "fast jump" agility maneuver: pronking — the all-feet-

@@ -265,18 +265,22 @@ GATES: Dict[str, Gate] = {
         dial=dict(Hsample=20, Hnode=5),
         checks=(("z_min", ">", 0.14), ("flight_run_max", ">", 6),
                 ("n_flights", ">", 8), ("apex_z", ">", 0.33),
+                ("x_final", ">", 2.0),
                 ("dones_mean", "<", 0.05),
                 ("dones_height_mean", "<", 0.01),
                 ("dones_inverted_mean", "<", 0.01)),
         recorded="BASELINE configs[3] fast-jump: pronking with ballistic "
-                 "flight phases (all four feet >5 mm off the ground).  "
-                 "Measured: 12 flights in 400 steps (one per 1.5 Hz pronk "
-                 "cycle), longest 16 steps (0.32 s) airborne, torso apex "
-                 "0.407 m (standing 0.27), airborne 38% of steps, zero "
-                 "terminations, +0.63 m forward at vx=0.3",
+                 "flight phases (all four feet >5 mm off the ground) that "
+                 "TRAVELS (round-4 audit: vx=0.3 pronked in place, "
+                 "+0.63 m).  Measured at vx=0.5 with the crate parked "
+                 "down-range: +2.97 m in 400 steps, 12 flights (one per "
+                 "1.5 Hz pronk cycle), longest 14 steps (0.28 s) "
+                 "airborne, apex 0.419 m (standing 0.27), airborne 37%, "
+                 "zero terminations, z_min 0.185",
         extra_metrics=_flight_metrics,
         quick_checks=(("z_min", ">", 0.14), ("flight_run_max", ">", 6),
                       ("n_flights", ">", 2), ("apex_z", ">", 0.33),
+                      ("x_final", ">", 0.4),
                       ("dones_mean", "<", 0.05),
                       ("dones_height_mean", "<", 0.01),
                       ("dones_inverted_mean", "<", 0.01)),
