@@ -87,6 +87,44 @@ def test_crate_x_parks_the_box_for_travel_tasks():
     assert env.config.default_vx == pytest.approx(0.5)
 
 
+def test_physical_termination_box_allows_climbing_postures(env):
+    """The climb task terminates on the PHYSICAL hinge ranges, not the
+    locomotion action table (measured: the mounting trajectory spends ~48%
+    of steps outside the table while structurally sound).  A front thigh at
+    1.6 rad — outside the table's [0.4, 1.4], inside the model's physical
+    range — must NOT flag done on the climb env, and MUST flag on a
+    default (reference-semantics) env."""
+    tjr = env.termination_joint_range
+    assert tjr is not None
+    # wider than the action table on the thigh rows (indices 1, 4, 7, 10)
+    assert all(tjr[i][1] > env.joint_range[i][1] for i in (1, 4, 7, 10))
+
+    # thigh at 2.2 rad: well past the table's 1.4 (one 0.02 s PD step
+    # cannot pull it back inside), well inside the physical 3.49
+    step = jax.jit(env.step)
+    a = jnp.zeros(env.action_size)
+    s = _state_at(env, 0.3, 0.27)
+    qpos = s.pipeline.qpos.at[7 + 1].set(2.2)
+    ps = pipeline.init(env.model, qpos, s.pipeline.qvel)
+    s2 = step(
+        EnvState(pipeline=ps, obs=s.obs, reward=s.reward, done=s.done,
+                 info=s.info),
+        a,
+    )
+    assert not bool(s2.done)
+
+    ref = get_env("go2_stand", n_substeps=8, scene="go2_force_crate")
+    s0 = jax.jit(ref.reset)(jax.random.PRNGKey(0))
+    qpos_r = s0.pipeline.qpos.at[7 + 1].set(2.2)
+    ps_r = pipeline.init(ref.model, qpos_r, s0.pipeline.qvel)
+    s2_r = jax.jit(ref.step)(
+        EnvState(pipeline=ps_r, obs=s0.obs, reward=s0.reward,
+                 done=s0.done, info=s0.info),
+        a,
+    )
+    assert bool(s2_r.done)
+
+
 def test_crate_carries_the_robot(env):
     """Drop the robot onto the crate top: contacts with the repositioned
     box must hold it (no fall-through to the floor)."""

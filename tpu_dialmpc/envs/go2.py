@@ -71,6 +71,17 @@ class UnitreeGo2EnvConfig:
     # parity oracle (tests/test_binary_parity.py); binary-parity tests pin
     # "model_eigen".
     joint_range_source: str = "upstream"
+    # Which box the TERMINATION predicate checks (the C++ conflates it with
+    # the action table, unitree-go2-env.h:561-589 — fine for locomotion,
+    # where leaving the table means losing the gait).  "action" replicates
+    # that; "physical" checks the model's hinge ranges instead (what the H1
+    # env already does).  Obstacle tasks need "physical": mounting the
+    # 0.30 m crate REQUIRES thigh/hip excursions outside the locomotion
+    # table (measured: the mounting trajectory spends 48% of steps outside
+    # it, inverted/height clean), so pricing the action box with
+    # done_penalty blocks the climb, while pricing the physical box prices
+    # real structural violations only.
+    termination_range_source: str = "action"
     # Agility: when >0, the yaw-rate command is a square wave — vyaw flips
     # sign every `turn_period` env steps (magnitude default_vyaw, ramped at
     # start) and the yaw target INTEGRATES the commanded rate (the constant-
@@ -118,6 +129,14 @@ class UnitreeGo2EnvConfig:
     # here" — without it the tracker trots straight off the crate's far
     # edge.
     goal_x: float = 0.0
+    # Lateral position anchor: -weight * (y - pos_tar_y)^2.  The reference
+    # reward has no position term at all (velocities + height only,
+    # unitree-go2-env.h:558), which is fine on flat ground; on the crate
+    # task the planner discovered straddling the box's SIDE edge (drift to
+    # y=-0.43 of the 0.46 half-width, left legs up / right legs hanging)
+    # because lateral drift is free.  The anchor keeps the approach
+    # centered on the obstacle.  0 = reference semantics.
+    y_anchor_weight: float = 0.0
     # Linear-velocity reward weight (reference fixes it at 1.0,
     # unitree-go2-env.h:558).  Agility tasks that must TRAVEL while
     # satisfying an expensive gait (pronk flight phases price vertical
@@ -166,6 +185,10 @@ class UnitreeGo2Env(FusedRolloutMixin):
                 # body is runtime-positioned by design; we bake the pose at
                 # compile time — the box is static either way)
                 mj.body_pos[bid, 2] = config.crate_top_z - half_z
+                # the XML ships the box fully transparent (rgba ...0.0);
+                # a climb video of an invisible crate is useless — make it
+                # opaque on the host model (visual only, physics unchanged)
+                mj.geom_rgba[gid, 3] = 1.0
                 self._crate = (
                     float(mj.body_pos[bid, 0]),
                     float(mj.body_pos[bid, 1]),
@@ -230,6 +253,11 @@ class UnitreeGo2Env(FusedRolloutMixin):
             unlimited[:, None], np.array([[-np.inf, np.inf]]), cr
         )
         self._foot_radius = 0.0175
+        if config.termination_range_source == "physical":
+            hinge_rows = model_range[: self.model.nu]
+            self.termination_joint_range = hinge_rows.copy()
+        else:
+            self.termination_joint_range = None  # = action table (reference)
         gait_name = config.gait if config.gait in gait.GAIT_PHASES else "trot"
         self._gait_phases = np.array(gait.GAIT_PHASES[gait_name])
         self._gait_params = np.array(gait.GAIT_PARAMS[gait_name])
@@ -516,9 +544,18 @@ class UnitreeGo2Env(FusedRolloutMixin):
             + 1.0 * reward_height
             + cfg.energy_weight * reward_energy
         )
+        if cfg.y_anchor_weight != 0.0:
+            reward = reward - cfg.y_anchor_weight * (
+                (torso_xpos[1] - info.pos_tar[1]) ** 2
+            )
 
         # ---- termination (unitree-go2-env.h:561-589) ----
-        jr = jnp.asarray(self.joint_range, dtype)
+        jr = jnp.asarray(
+            self.joint_range
+            if self.termination_joint_range is None
+            else self.termination_joint_range,
+            dtype,
+        )
         joint_angles = qpos[7 : 7 + self.model.nu]
         out_of_range = jnp.any(
             (joint_angles < jr[:, 0]) | (joint_angles > jr[:, 1])

@@ -201,13 +201,25 @@ _register("go2_crate_climb", _go2(
         scene="go2_force_crate",
         crate_top_z=0.30,
         goal_x=1.35,
+        # terminate (and price, via done_penalty) the PHYSICAL hinge box,
+        # not the locomotion action table: the measured mounting
+        # trajectory spends ~48% of steps outside the narrow table
+        # (inverted/height clean) — pricing the table blocks the climb
+        # (probe: x stalls at 0.94 half-mounted), pricing physical
+        # violations only lets it mount (x 1.36 = goal, feet on top)
+        termination_range_source="physical",
         done_penalty=2.0,
-        # break the approach-vs-height-target trade toward progress (the
-        # measured stall mode: the planner parks where height error is
-        # still zero rather than enter the rising-target region)
-        vel_weight=1.5,
+        # keep the approach centered: lateral drift is otherwise free and
+        # the planner straddles the box's side edge (probe: y -0.43)
+        y_anchor_weight=1.0,
+        # break the approach-vs-height-target trade toward progress: at
+        # 1.5 the planner half-mounts (fronts up) and parks; at 2.5 the
+        # rear-kick mount becomes profitable and the probe mounts cleanly
+        # (x 1.36 = goal, torso settles 0.50 on the crate top, feet on
+        # top, zero terminations of any cause)
+        vel_weight=2.5,
     )
-), dict(_GO2_DIAL, Hsample=25))
+), dict(_GO2_DIAL, Hsample=25, n_steps=600))
 # BASELINE configs[3] "fast jump" agility maneuver: pronking — the all-feet-
 # in-phase gait commands simultaneous lift-off, so tracking it requires
 # ballistic flight phases.  Runs on the collision-geom scene

@@ -76,8 +76,9 @@ def termination_breakdown(env, qpos) -> Dict[str, float]:
         tol = 0.05
         joints = qpos[:, np.asarray(env._act_qadr)]
         z_floor = 0.5
-    else:  # Go2 (envs/go2.py:386-396)
-        jr = np.asarray(env.joint_range)
+    else:  # Go2 (envs/go2.py termination block)
+        tjr = getattr(env, "termination_joint_range", None)
+        jr = np.asarray(env.joint_range if tjr is None else tjr)
         tol = 0.0
         joints = qpos[:, 7 : 7 + env.model.nu]
         z_floor = 0.18
@@ -287,18 +288,22 @@ GATES: Dict[str, Gate] = {
     ),
     "go2_crate_climb": Gate(
         task="go2_crate_climb",
+        n_steps=600,  # approach ~4 s + mount ~5 s + settle on top
         dial=dict(Hsample=25, Hnode=5),
-        checks=(("z_last100_mean", ">", 0.50),
-                ("feet_on_crate_last100", ">", 0.9),
+        checks=(("z_last100_mean", ">", 0.45),
+                ("feet_on_crate_last100", ">", 0.6),
                 ("x_final", ">", 1.1),
                 ("z_min", ">", 0.15),
                 ("dones_mean", "<", 0.05),
                 ("dones_height_mean", "<", 0.01),
                 ("dones_inverted_mean", "<", 0.01)),
-        recorded="mounts the reference crate (top 0.30 m, "
-                 "mjx_scene_force_crate.xml box sunk to a climbable "
-                 "height) and stands on top: thresholds to be "
-                 "re-calibrated from the first green TPU run",
+        recorded="mounts the reference crate (mjx_scene_force_crate.xml "
+                 "box at a climbable 0.30 m top).  Measured: approach + "
+                 "front-feet mount by step ~250, rear-kick full mount at "
+                 "step ~513, then stands ON the crate at the goal — "
+                 "x 1.36, torso settled 0.50-0.51 (z_last100 0.516), "
+                 "feet-on-crate 87% of the last 100 steps, zero "
+                 "terminations of any cause (physical termination box)",
         extra_metrics=_climb_metrics,
         # 150 steps (3 s) is approach + first mount attempt: require real
         # forward progress toward the crate without terminations; the
