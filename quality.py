@@ -88,8 +88,20 @@ def run_quality(names, out_path, quick=False, seeds=None):
     seeds = list(seeds) if seeds else [None]
     t0 = time.time()
     results = []
+    gate_names = names or list(q.GATES)
     for s in seeds:
-        results.extend(q.run_all(names, quick=quick, seed=s))
+        for n in gate_names:
+            r = q.run_gate(n, quick=quick, seed=s)
+            results.append(r)
+            # per-gate progress (a 10-gate full run is ~1.5 h; a silent
+            # harness is undiagnosable mid-run)
+            line = {c["metric"]: round(c["measured"], 3) for c in r["checks"]}
+            print(
+                f"[{len(results)}/{len(seeds) * len(gate_names)}] "
+                f"{n}[seed={r['seed']}]: passed={r['passed']} {line} "
+                f"({r['wall_s']:.0f}s)",
+                flush=True,
+            )
     doc = {
         "artifact": "quality",
         "lane": "quick" if quick else "full",
@@ -107,9 +119,6 @@ def run_quality(names, out_path, quick=False, seeds=None):
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({k: doc[k] for k in ("platform", "all_passed")}))
-    for r in results:
-        line = {c["metric"]: round(c["measured"], 3) for c in r["checks"]}
-        print(f"  {r['gate']}[seed={r['seed']}]: passed={r['passed']} {line}")
     print(f"wrote {out_path}")
     return 0 if doc["all_passed"] else 1
 
