@@ -169,6 +169,11 @@ _register("go2_turn", _go2(
         kp=30.0,
         kd=0.65,
         leg_control="torque",
+        # the round-5 multi-seed audit flagged this gate's done rate as
+        # seed-sensitive (0.08 at seed 7 vs 0.0 at seed 13; joint-range
+        # grazes under an unlucky noise draw) — price the termination
+        # predicate like every other fast gait
+        done_penalty=2.0,
     )
 ), _GO2_DIAL)
 _register("go2_crate", _go2(
