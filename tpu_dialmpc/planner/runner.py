@@ -188,8 +188,33 @@ def run(
     )
 
 
-def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
-    """Fully on-device driver: one lax.scan over control steps (bench path)."""
+# Single-execution budget for run_scan, in sample-substeps (Nsample+1
+# candidates x (Hsample+1) rollout steps x n_substeps x Ndiffuse x control
+# steps).  A monolithic 600-step scan at Nsample=8192 on a crate scene is a
+# multi-minute single XLA execution, and the tunneled-TPU service's
+# watchdog kills the worker mid-run ("TPU worker crashed or restarted" —
+# reproduced twice at that shape; the raw kernel and single reverse_once
+# at the same batch are fine).  Above this budget the scan is split into
+# chunks with a host sync between them; the carried (state, Y0, key)
+# triple makes the chunked execution step-for-step identical to the
+# monolithic one (same key-split sequence).  At Nsample=2048 the full
+# 600-step crate-climb gate stays monolithic (~5.1e8 < budget), keeping
+# the exact programs the round artifacts were measured with.
+RUN_SCAN_SAMPLE_SUBSTEP_BUDGET = 6e8
+
+
+def run_scan(
+    env,
+    cfg: DialConfig,
+    n_steps: Optional[int] = None,
+    chunk: Optional[int] = None,
+) -> RunResult:
+    """Fully on-device driver: lax.scan over control steps (bench path).
+
+    `chunk` caps the number of control steps per device execution; None
+    picks it automatically from RUN_SCAN_SAMPLE_SUBSTEP_BUDGET (monolithic
+    whenever the workload fits the single-execution budget).
+    """
     mbdpi = MBDPI(cfg, env)
     lean = _lean_capable(env)
     key = jax.random.PRNGKey(cfg.seed)
@@ -200,48 +225,84 @@ def run_scan(env, cfg: DialConfig, n_steps: Optional[int] = None) -> RunResult:
     Y0 = jnp.zeros((cfg.Hnode + 1, env.action_size), state.obs.dtype)
     n = cfg.n_steps if n_steps is None else n_steps
 
+    if chunk is None:
+        per_step = (
+            (cfg.Nsample + 1)
+            * (cfg.Hsample + 1)
+            * getattr(env.config, "n_substeps", 1)
+            * max(cfg.Ndiffuse, 1)
+        )
+        if per_step * n <= RUN_SCAN_SAMPLE_SUBSTEP_BUDGET:
+            chunk = n  # monolithic (the validated gate/bench program)
+        else:
+            chunk = max(1, int(RUN_SCAN_SAMPLE_SUBSTEP_BUDGET // per_step))
+
     def exec_step(state, action):
         return env.step_lean(state, action) if lean else env.step(state, action)
 
-    @jax.jit
-    def full_run(state, Y0, key):
-        Y0 = mbdpi.reverse(state, Y0, warm_key)
-
-        def first_step(carry):
-            state, Y0, key = carry
-            key, k = jax.random.split(key)
-            action = Y0[0]
-            state2 = exec_step(state, action)
-            Y1 = mbdpi.shift(Y0)
-            Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse_init)
-            return (state2, Y2, key), (
-                state2.reward, state2.done, state2.pipeline.qpos,
-                state2.pipeline.qvel, action,
-            )
-
-        def body(carry, _):
-            state, Y0, key = carry
-            key, k = jax.random.split(key)
-            action = Y0[0]
-            state2 = exec_step(state, action)
-            Y1 = mbdpi.shift(Y0)
-            Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse)
-            return (state2, Y2, key), (
-                state2.reward, state2.done, state2.pipeline.qpos,
-                state2.pipeline.qvel, action,
-            )
-
-        carry, out0 = first_step((state, Y0, key))
-        carry, outs = jax.lax.scan(body, carry, None, length=n - 1)
-        state, Y0, _ = carry
-        stacked = jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs
+    def first_step(carry):
+        state, Y0, key = carry
+        key, k = jax.random.split(key)
+        action = Y0[0]
+        state2 = exec_step(state, action)
+        Y1 = mbdpi.shift(Y0)
+        Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse_init)
+        return (state2, Y2, key), (
+            state2.reward, state2.done, state2.pipeline.qpos,
+            state2.pipeline.qvel, action,
         )
-        return state, Y0, stacked
+
+    def body(carry, _):
+        state, Y0, key = carry
+        key, k = jax.random.split(key)
+        action = Y0[0]
+        state2 = exec_step(state, action)
+        Y1 = mbdpi.shift(Y0)
+        Y2, _ = mbdpi.improve(state2, Y1, k, cfg.Ndiffuse)
+        return (state2, Y2, key), (
+            state2.reward, state2.done, state2.pipeline.qpos,
+            state2.pipeline.qvel, action,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("length", "first"))
+    def run_chunk(state, Y0, key, length, first):
+        carry = (state, Y0, key)
+        if first:
+            Y0w = mbdpi.reverse(state, Y0, warm_key)
+            carry = (state, Y0w, key)
+            carry, out0 = first_step(carry)
+            if length > 1:
+                carry, outs = jax.lax.scan(body, carry, None, length=length - 1)
+                stacked = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                    out0, outs,
+                )
+            else:
+                stacked = jax.tree_util.tree_map(lambda a: a[None], out0)
+        else:
+            carry, stacked = jax.lax.scan(body, carry, None, length=length)
+        state, Y0, key = carry
+        return state, Y0, key, stacked
 
     qpos0, qvel0 = state.pipeline.qpos, state.pipeline.qvel
     warmstart0 = state.pipeline.qacc_warmstart
-    state, Y0, (rewards, dones, qpos, qvel, us) = full_run(state, Y0, key)
+    outs_chunks = []
+    done_steps = 0
+    while done_steps < n:
+        length = min(chunk, n - done_steps)
+        state, Y0, key, stacked = run_chunk(
+            state, Y0, key, length, done_steps == 0
+        )
+        # host sync between chunks bounds each device execution
+        jax.block_until_ready(stacked)
+        outs_chunks.append(stacked)
+        done_steps += length
+    if len(outs_chunks) == 1:
+        rewards, dones, qpos, qvel, us = outs_chunks[0]
+    else:
+        rewards, dones, qpos, qvel, us = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs_chunks
+        )
     return RunResult(
         rewards=rewards,
         dones=dones,
